@@ -13,6 +13,8 @@ indexing over the padded sample stream:
   sign-compensated once ((-1) for odd band & odd slot, mdct.c:57-60),
   then each band's 36-point input is [previous granule ; current].
 """
+import os
+
 import numpy as np
 
 from ..tables import dsp as T
@@ -63,6 +65,29 @@ def granule_subbands(x, ngranules):
 _SIGN = np.ones((18, 32))
 _SIGN[1::2, 1::2] = -1.0  # odd slot & odd band compensation (mdct.c:57-60)
 
+_UNROLL = np.load(os.path.join(os.path.dirname(T.__file__), "data", "mdct_unroll.npz"))
+
+
+def _mdct_long_unrolled(fin):
+    """Evaluate the reference's unrolled 36->18 MDCT (mdct.c:199-509).
+
+    fin: (..., 36) windowed inputs.  Statement/term tables parsed from
+    the reference source by tools/parse_mdct_unroll.py.
+    """
+    sm = _UNROLL["stmt_m"]; cs = _UNROLL["stmt_cos_sign"]
+    ck = _UNROLL["stmt_cos_k"]; off = _UNROLL["stmt_term_off"]
+    tsg = _UNROLL["term_sign"]; tix = _UNROLL["term_idx"]
+    out = np.zeros(fin.shape[:-1] + (18,))
+    for s in range(len(sm)):
+        terms = slice(off[s], off[s + 1])
+        signs = tsg[terms]; idxs = tix[terms]
+        acc = signs[0] * fin[..., idxs[0]]
+        for sign, i in zip(signs[1:], idxs[1:]):
+            acc = acc + sign * fin[..., i]
+        m = int(sm[s])
+        out[..., m] += acc * (cs[s] * T.COS_L[m, ck[s]])
+    return out
+
 
 def mdct_granules(sb, block_type):
     """MDCT for a sequence of granules of one channel.
@@ -80,7 +105,7 @@ def mdct_granules(sb, block_type):
     out = np.zeros((G, 32, 18))
 
     bt = np.asarray(block_type)
-    for b in (0, 1, 3):
+    for b in (1, 3):
         m = bt == b
         if not m.any():
             continue
@@ -90,6 +115,12 @@ def mdct_granules(sb, block_type):
         for k in range(36):
             acc += fin[:, :, k:k + 1] * T.COS_L[None, None, :, k]
         out[m] = acc
+    m = bt == 0
+    if m.any():
+        # the hand-unrolled long->long transform (mdct.c:199-509) groups
+        # terms in a specific association order; replicate it exactly
+        fin = mdct_in[m].transpose(0, 2, 1) * T.MDCT_WIN[0][None, None, :]
+        out[m] = _mdct_long_unrolled(fin)
     m = bt == 2
     if m.any():
         # three short transforms; input window k+6l+6 (mdct.c:176-184)

@@ -4,6 +4,8 @@ Batched DSP/psy up front (they are granule-parallel), then the
 sequential per-granule rate loop with exact reservoir semantics, then
 byte-exact bitstream assembly.
 """
+import copy
+
 import numpy as np
 
 from ..config import EncoderConfig
@@ -22,17 +24,19 @@ def _calc_scfsi_state():
 
 def _calc_scfsi(xr, st, xmin_l, gi, ch, gr, scfsi_out, sfb_l):
     """loop.c:615-720 with its indexing quirks kept (see comments)."""
-    log2 = np.log(2.0)
+    import math
+    from .loop import _seqsum
+    log2 = math.log(2.0)
     st["xrmax"][gr][ch] = int(np.max(np.abs(xr)))  # double->int truncation
-    temp = np.sum(xr * xr)
-    st["en_tot"][gr][ch] = 0 if temp == 0.0 else int(np.log(temp) / log2)
+    temp = _seqsum(xr * xr)
+    st["en_tot"][gr][ch] = 0 if temp == 0.0 else int(math.log(temp) / log2)
 
     if gi.window_switching_flag == 0 or gi.block_type != 2:
         for sfb in range(21):
             start, end = int(sfb_l[sfb]), int(sfb_l[sfb + 1])
-            t = np.sum(xr[start:end] * xr[start:end])
-            st["en"][gr][ch][sfb] = 0 if t == 0.0 else int(np.log(t) / log2)
-            st["xm"][gr][ch][sfb] = 0 if xmin_l[sfb] == 0.0 else int(np.log(xmin_l[sfb]) / log2)
+            t = _seqsum(xr[start:end] * xr[start:end])
+            st["en"][gr][ch][sfb] = 0 if t == 0.0 else int(math.log(t) / log2)
+            st["xm"][gr][ch][sfb] = 0 if xmin_l[sfb] == 0.0 else int(math.log(xmin_l[sfb]) / log2)
     if gr == 1:
         condition = 0
         for gr2 in range(2):
@@ -97,6 +101,10 @@ def encode_layer3(pcm, cfg: EncoderConfig, return_debug=False):
     main_data_begin = 0
     scfsi = [[0] * 4 for _ in range(2)]
     debug = []
+    # gr_info structs persist across frames in the reference (static
+    # l3_side); only the fields listed at loop.c:316-344 are reset per
+    # granule.  address1/2/3 deliberately survive (see subdivide).
+    persistent_gi = [[loop.GrInfo() for _ in range(nch)] for _ in range(2)]
 
     for f in range(nframes):
         bits_per_frame = 8 * whole_spf + int(padding[f]) * 8
@@ -115,7 +123,22 @@ def encode_layer3(pcm, cfg: EncoderConfig, return_debug=False):
             for ch in range(nch):
                 g = f * mode_gr + gr
                 p = psy_out[ch]
-                gi = loop.GrInfo()
+                gi = persistent_gi[gr][ch]
+                gi.part2_3_length = 0
+                gi.big_values = 0
+                gi.count1 = 0
+                gi.scalefac_compress = 0
+                gi.table_select = [0, 0, 0]
+                gi.subblock_gain = [0, 0, 0]
+                gi.region0_count = 0
+                gi.region1_count = 0
+                gi.part2_length = 0
+                gi.preflag = 0
+                gi.scalefac_scale = 0
+                gi.quantizerStepSize = 0.0
+                gi.count1table_select = 0
+                gi.slen = [0, 0, 0, 0]
+                gi.sfb_partition_table = 0
                 gi.block_type = int(p["block_type"][g])
                 gi.window_switching_flag = 0 if gi.block_type == mpeg.NORM_TYPE else 1
                 gi.mixed_block_flag = 0
@@ -174,7 +197,7 @@ def encode_layer3(pcm, cfg: EncoderConfig, return_debug=False):
                 main.append((0, r))
         main_data_begin, _ = asm.add_frame(bits_per_frame, si, main)
         if return_debug:
-            debug.append(dict(gis=gis, ix=ixs, scalefac_l=sfl, scalefac_s=sfs,
+            debug.append(dict(gis=copy.deepcopy(gis), ix=ixs, scalefac_l=sfl, scalefac_s=sfs,
                               scfsi=[list(s) for s in scfsi],
                               mdb=main_data_begin, resv_drain=resv_drain))
 

@@ -16,6 +16,7 @@ All semantic quirks of the reference are kept deliberately:
   - preemphasis amplifies all long sfbs once all of sfb 17..20 are
     distorted (loop.c:1161-1213).
 """
+import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -64,17 +65,29 @@ def gr_deco(gi):
         gi.sfb_lmax, gi.sfb_smax = 21, 12
 
 
+def _seqsum(arr):
+    """Sequential left-to-right sum (np.sum is pairwise/unrolled and
+    rounds differently from the reference's scalar loops)."""
+    s = 0.0
+    for v in arr.tolist():
+        s += v
+    return s
+
+
 def quantanf_init(xr):
     nz = xr != 0.0
     if not nz.any():
         return -70.0
-    tpd = xr[nz] * xr[nz]
-    sum1 = np.sum(np.log(tpd))
-    sum2 = np.sum(tpd)
+    tpd = (xr[nz] * xr[nz]).tolist()
+    sum1 = 0.0
+    sum2 = 0.0
+    for v in tpd:  # loop.c:379-387: both sums accumulate in one pass
+        sum1 += math.log(v)
+        sum2 += v
     if sum2 == 0.0:
         return -70.0
-    sfm = np.exp(sum1 / 576.0) / (sum2 / 576.0)
-    tp = nint(8.0 * np.log(sfm))
+    sfm = math.exp(sum1 / 576.0) / (sum2 / 576.0)
+    tp = nint(8.0 * math.log(sfm))
     if tp < -100.0:  # minlimit clamp (loop.c:377,392-393)
         tp = -100
     return tp - 70.0
@@ -82,7 +95,7 @@ def quantanf_init(xr):
 
 def quantize(xr, qss):
     """ix = nint((|xr| / 2^(qss/4))^0.75 - 0.0946), capped at 2047."""
-    step = 2.0 ** (qss * 0.25)
+    step = math.pow(2.0, qss * 0.25)
     v = np.abs(xr) / step
     return np.searchsorted(TD.POW_NINT_BOUND, v, side="right").astype(np.int64)
 
@@ -124,8 +137,11 @@ def count1_bitcount(ix, gi):
 
 def subdivide(gi, sfb_l):
     if gi.big_values == 0:
+        # region counts reset, but address1/2/3 keep their previous
+        # (stale) values -- loop.c:1643-1647 does not clear them, and
+        # bigv_tab_select/bigv_bitcount then count phantom region-0
+        # bits that end up as stuffing.  Faithfully reproduced.
         gi.region0_count = gi.region1_count = 0
-        gi.address1 = gi.address2 = gi.address3 = 0
         return
     bvr = 2 * gi.big_values
     if gi.window_switching_flag == 0:
@@ -329,12 +345,15 @@ def calc_xmin(xr, ratio_l, ratio_s, gi, sfb_l, sfb_s):
     for sfb in range(gi.sfb_smax, 12):
         start, end = int(sfb_s[sfb]), int(sfb_s[sfb + 1])
         bw = end - start
-        en3 = np.sum(xrs[start:end] * xrs[start:end], axis=0)
+        prod = xrs[start:end] * xrs[start:end]
+        en3 = np.zeros(3)
+        for l in range(end - start):  # sequential, loop.c:1103-1104
+            en3 += prod[l]
         xmin_s[sfb] = ratio_s[sfb] * en3 / bw
     for sfb in range(gi.sfb_lmax):
         start, end = int(sfb_l[sfb]), int(sfb_l[sfb + 1])
         bw = end - start
-        en = np.sum(xr[start:end] * xr[start:end])
+        en = _seqsum(xr[start:end] * xr[start:end])
         xmin_l[sfb] = ratio_l[sfb] * en / bw
     return xmin_l, xmin_s
 
@@ -343,12 +362,12 @@ def calc_noise(xr, ix, gi, sfb_l, sfb_s):
     """Quantization distortion per sfb (loop.c:1007-1070)."""
     xfsf_l = np.zeros(21)
     xfsf_s = np.zeros((3, 12))
-    step = 2.0 ** (gi.quantizerStepSize * 0.25)
+    step = math.pow(2.0, gi.quantizerStepSize * 0.25)
     for sfb in range(gi.sfb_lmax):
         start, end = int(sfb_l[sfb]), int(sfb_l[sfb + 1])
         bw = end - start
         t = np.abs(xr[start:end]) - TD.POW_4_3[ix[start:end]] * step
-        xfsf_l[sfb] = np.sum(t * t) / bw
+        xfsf_l[sfb] = _seqsum(t * t) / bw
     xrs = xr.reshape(192, 3)
     ixs = ix.reshape(192, 3)
     for i in range(3):
@@ -356,7 +375,7 @@ def calc_noise(xr, ix, gi, sfb_l, sfb_s):
             start, end = int(sfb_s[sfb]), int(sfb_s[sfb + 1])
             bw = end - start
             t = np.abs(xrs[start:end, i]) - TD.POW_4_3[ixs[start:end, i]] * step
-            xfsf_s[i, sfb] = np.sum(t * t) / bw
+            xfsf_s[i, sfb] = _seqsum(t * t) / bw
     return xfsf_l, xfsf_s
 
 
@@ -458,12 +477,13 @@ def preemphasis(xr, xfsf_l, xmin_l, gi, gr, scfsi, gr0_preflag, sfb_l):
         over = sum(xfsf_l[sfb] > xmin_l[sfb] for sfb in range(17, 21))
         if over == 4:
             gi.preflag = 1
-            ifqstep = np.sqrt(2.0) if gi.scalefac_scale == 0 else \
-                2.0 ** (0.5 * (1.0 + gi.scalefac_scale))
+            ifqstep = math.sqrt(2.0) if gi.scalefac_scale == 0 else \
+                math.pow(2.0, 0.5 * (1.0 + gi.scalefac_scale))
             for sfb in range(gi.sfb_lmax):
-                xmin_l[sfb] *= ifqstep ** (2.0 * mpeg.PRETAB[sfb])
+                # libm pow for bit-identity (loop.c:1205,1209)
+                xmin_l[sfb] *= math.pow(ifqstep, 2.0 * float(mpeg.PRETAB[sfb]))
                 start, end = int(sfb_l[sfb]), int(sfb_l[sfb + 1])
-                xr[start:end] *= ifqstep ** mpeg.PRETAB[sfb]
+                xr[start:end] *= math.pow(ifqstep, float(mpeg.PRETAB[sfb]))
 
 
 def amp_scalefac_bands(xr, xfsf_l, xfsf_s, xmin_l, xmin_s, scalefac_l,

@@ -22,6 +22,7 @@ valid stand-in for Malvar's packing.
 """
 import numpy as np
 
+from . import fft32
 from ..tables import mpeg
 from ..tables.psy import (CBANDS, CBANDS_S, HBLKSIZE, HBLKSIZE_S, SBMAX_L,
                           SBMAX_S, S3IND, psy_params_for_sfreq)
@@ -36,24 +37,8 @@ def _hann(n):
 
 
 def _fft_energy_phi(frames_f32):
-    """energy/phi per reference conventions; frames (..., N) float32."""
-    N = frames_f32.shape[-1]
-    X = np.fft.rfft(frames_f32.astype(np.float64), axis=-1)
-    re = X.real.astype(np.float32).astype(np.float64)
-    im = X.imag.astype(np.float32).astype(np.float64)
-    energy = re * re + im * im
-    phi = np.arctan2(im, re)
-    # interior lines: floor energy, zero phi (subs.c:67-80)
-    floor = energy < 0.0005
-    floor[..., 0] = False
-    floor[..., N // 2] = False
-    energy = np.where(floor, 0.0005, energy)
-    phi = np.where(floor, 0.0, phi)
-    energy[..., 0] = re[..., 0] ** 2
-    energy[..., N // 2] = re[..., N // 2] ** 2
-    phi[..., 0] = np.arctan2(0.0, re[..., 0])
-    phi[..., N // 2] = np.arctan2(0.0, re[..., N // 2])
-    return energy, phi
+    """energy/phi, bit-exact float32 split-radix path (see fft32)."""
+    return fft32.energy_phi(fft32.rsfft(frames_f32))
 
 
 def psycho_granules(samples, sfreq_hz):
@@ -100,7 +85,10 @@ def psycho_granules(samples, sfreq_hz):
     cw_l = np.where(t3 != 0.0, np.sqrt(t1 * t1 + t2 * t2) / np.where(t3 == 0, 1, t3), 0.0)
     cw[:, :6] = cw_l[:, :6]
 
-    rs = np.sqrt(energy_s).astype(np.float32).astype(np.float64)  # (G,3,129)
+    # short-block sqrt stays in double (l3psy.c:536-539 computes
+    # sqrt((double)energy_s) inline, unlike the long path where r is a
+    # FLOAT array)
+    rs = np.sqrt(energy_s)  # (G,3,129)
     k = (np.arange(6, 206, 4) + 2) >> 2        # 2..51
     rp_s = 2.0 * rs[:, 0, k] - rs[:, 2, k]
     pp_s = 2.0 * phi_s[:, 0, k] - phi_s[:, 2, k]
@@ -112,36 +100,49 @@ def psycho_granules(samples, sfreq_hz):
     cws = np.where(t3 != 0.0, np.sqrt(t1 * t1 + t2 * t2) / np.where(t3 == 0, 1, t3), 0.0)
     cw[:, 6:206] = np.repeat(cws, 4, axis=1)
 
-    # --- partition energies (ascending j accumulation)
+    # --- partition energies.  eb is double; cb is a float32 buffer in
+    # the reference (FLOAT* malloc, l3psy.c:116,140), so each += rounds
+    # to f32 after a double add (ascending j, l3psy.c:570-578).
     part_l = P["partition_l"]
     eb = np.zeros((G, CBANDS))
-    cbw = np.zeros((G, CBANDS))
     np.add.at(eb.T, part_l, energy.T)
-    np.add.at(cbw.T, part_l, (cw * energy).T)
+    cb32 = np.zeros((G, CBANDS), np.float32)
+    prod = cw * energy
+    for j in range(HBLKSIZE):
+        tp = part_l[j]
+        cb32[:, tp] = (cb32[:, tp].astype(np.float64) + prod[:, j]).astype(np.float32)
 
-    # --- spreading convolution
+    # --- spreading convolution.  ecb is float32 (rounds every step);
+    # ctb is double (sprdngf1/2 signatures, l3psy.c:1062-1084).
     sfreq_idx = {32000.0: 0, 44100.0: 1, 48000.0: 2}[float(sfreq_hz)]
     s3 = P["s3_l"]
     if sfreq_idx == 1:
         s3 = s3 * P["s3_mask"]  # sparse bounds, l3psy.c:591-593
-    ecb = np.zeros((G, CBANDS))
+    ecb32 = np.zeros((G, CBANDS), np.float32)
     ctb = np.zeros((G, CBANDS))
+    cb64 = cb32.astype(np.float64)
     for kk in range(CBANDS):  # ascending-k accumulation like the C loop
-        ecb += s3[None, :, kk] * eb[:, kk:kk + 1]
-        ctb += s3[None, :, kk] * cbw[:, kk:kk + 1]
+        ecb32 = (ecb32.astype(np.float64) + s3[None, :, kk] * eb[:, kk:kk + 1]
+                 ).astype(np.float32)
+        ctb += s3[None, :, kk] * cb64[:, kk:kk + 1]
+    ecb = ecb32.astype(np.float64)
 
     # --- tonality -> SNR -> thresholds
     with np.errstate(divide="ignore", invalid="ignore"):
         cbb = np.where(ecb != 0.0, np.log(np.maximum(ctb / np.where(ecb == 0, 1, ecb), 0.01)), 0.0)
     tbb = np.clip(-0.299 - 0.43 * cbb, 0.0, 1.0)
     snr_l = np.maximum(P["minval"][None, :], 29.0 * tbb + 6.0 * (1.0 - tbb))
-    nb = ecb * P["norm_l"][None, :] * np.exp(-snr_l * LN)
+    # nb is a float32 buffer as well (l3psy.c:116,139)
+    nb = (ecb * P["norm_l"][None, :] * np.exp(-snr_l * LN)).astype(np.float32).astype(np.float64)
     nb1 = np.concatenate([np.zeros((1, CBANDS)), nb[:-1]])
     nb2 = np.concatenate([np.zeros((2, CBANDS)), nb[:-2]])
     thr = np.maximum(P["qthr_l"][None, :], np.minimum(nb, np.minimum(2.0 * nb1, 16.0 * nb2)))
 
-    # --- perceptual entropy
-    pe = -np.sum(P["numlines"][None, :] * np.minimum(0.0, np.log((thr + 1.0) / (eb + 1.0))), axis=1)
+    # --- perceptual entropy, sequential -= accumulation (l3psy.c:639-645)
+    peterms = P["numlines_pe"][None, :] * np.minimum(0.0, np.log((thr + 1.0) / (eb + 1.0)))
+    pe = np.zeros(G)
+    for b in range(CBANDS):
+        pe = pe - peterms[:, b]
 
     # --- long-block sfb ratios
     en_l = np.zeros((G, SBMAX_L))
@@ -161,11 +162,16 @@ def psycho_granules(samples, sfreq_hz):
     part_s = P["partition_s"]
     eb_s = np.zeros((G, 3, CBANDS))
     np.add.at(eb_s.transpose(2, 0, 1), part_s, energy_s.transpose(2, 0, 1))
-    # full conv with the *long* matrix restricted to CBANDS_S (l3psy.c:707-709)
-    ecb_s = np.zeros((G, 3, CBANDS))
+    # full conv with the *long* matrix restricted to CBANDS_S
+    # (l3psy.c:707-709); ecb/nb are float32 buffers here too
+    ecb_s32 = np.zeros((G, 3, CBANDS), np.float32)
     for kk in range(CBANDS_S):
-        ecb_s[..., :CBANDS_S] += P["s3_l"][None, None, :CBANDS_S, kk] * eb_s[:, :, kk:kk + 1]
-    nb_s = ecb_s * P["norm_l"][None, None, :] * np.exp(P["snr_s"][None, None, :] * LN)
+        upd = (ecb_s32[..., :CBANDS_S].astype(np.float64)
+               + P["s3_l"][None, None, :CBANDS_S, kk] * eb_s[:, :, kk:kk + 1])
+        ecb_s32[..., :CBANDS_S] = upd.astype(np.float32)
+    ecb_s = ecb_s32.astype(np.float64)
+    nb_s = (ecb_s * P["norm_l"][None, None, :] *
+            np.exp(P["snr_s"][None, None, :] * LN)).astype(np.float32).astype(np.float64)
     thr_s = np.maximum(P["qthr_s"][None, None, :], nb_s)
     en_s = np.zeros((G, SBMAX_S, 3))
     thm_s = np.zeros((G, SBMAX_S, 3))
@@ -192,9 +198,21 @@ def psycho_granules(samples, sfreq_hz):
             emit_bt[g] = state
             state = mpeg.STOP_TYPE if state == mpeg.SHORT_TYPE else mpeg.NORM_TYPE
 
-    # --- one-granule delayed ratio emission
-    out_ratio_l = np.concatenate([np.zeros((1, SBMAX_L)), ratio_l[:-1]])
-    out_ratio_s = np.concatenate([np.zeros((1, SBMAX_S, 3)), ratio_s[:-1]])
+    # --- delayed ratio emission with per-type staleness: the static
+    # ratio/ratio_s arrays only update on the branch taken
+    # (l3psy.c:671-684 long, :698-729 short), so the value emitted at g
+    # is the one computed at the last granule < g of the matching type.
+    out_ratio_l = np.zeros((G, SBMAX_L))
+    out_ratio_s = np.zeros((G, SBMAX_S, 3))
+    last_l = np.zeros(SBMAX_L)
+    last_s = np.zeros((SBMAX_S, 3))
+    for g in range(G):
+        out_ratio_l[g] = last_l
+        out_ratio_s[g] = last_s
+        if attack[g]:
+            last_s = ratio_s[g]
+        else:
+            last_l = ratio_l[g]
 
     return dict(block_type=emit_bt, ratio_l=out_ratio_l, ratio_s=out_ratio_s,
                 pe=pe, attack=attack)

@@ -8,7 +8,9 @@ Formulas match the ISO reference encoder:
   - aliasing-reduction butterflies (Table B.9): mdct.c:18-46
   - quantizer boundary table: pow_nint.c:13-20
 """
+import math
 import os
+
 import numpy as np
 
 from .mpeg import REF_PI
@@ -69,8 +71,11 @@ ALIAS_CS = 1.0 / _sq
 # Quantizer decision boundaries: ix = #{i in [1,2047] : x >= (i-0.4054)^(4/3)}.
 # This reproduces pow_nint() including its hidden cap at 2047
 # (pow_nint.h:15-49: the gallop/binary search never returns more).
-POW_NINT_BOUND = (np.arange(1, 2048) - 0.4054) ** (4.0 / 3.0)
+# Computed with libm pow (math.pow) for bit-identity with the C tables;
+# numpy's vectorized power can differ by 1 ulp.
+POW_NINT_BOUND = np.array([math.pow(i - 0.4054, 4.0 / 3.0)
+                           for i in range(1, 2048)])
 IX_MAX_QUANT = 2047
 
 # |ix|^(4/3) lookup used by calc_noise (loop.c:1003-1021)
-POW_4_3 = np.arange(2048, dtype=np.float64) ** (4.0 / 3.0)
+POW_4_3 = np.array([math.pow(float(i), 4.0 / 3.0) for i in range(2048)])

@@ -80,12 +80,14 @@ def _first_tab():
 
 FIRST_TABLE_FOR_MAX = _first_tab()
 
-# ESC table choice: first of 16..23 then 24..31 with linmax >= max-15
+# ESC table choice: first of 15..23 then 24..31 with linmax >= max-15.
+# Note the first scan really starts at table 15 (loop.c:1875): for
+# max==15 the non-ESC 16x16 table 15 (linmax 0) is selected.
 def _esc_tab():
     a = np.zeros(8192 + 1, dtype=np.int32)
     b = np.zeros(8192 + 1, dtype=np.int32)
     for m in range(8193):
-        for i in range(16, 24):
+        for i in range(15, 24):
             if HUFF.linmax[i] >= m:
                 a[m] = i
                 break

@@ -169,9 +169,15 @@ def psy_params_for_sfreq(sfreq_hz):
         lo, hi = S3IND[b]
         s3_mask[b, lo:hi + 1] = 1.0
 
+    # L3para_read reads the short-partition rows into the *same*
+    # numlines array (l3psy.c:868), clobbering long entries < cbmax_s.
+    # pe (l3psy.c:639-645) therefore uses this mixture.
+    numlines_pe = numlines.copy()
+    numlines_pe[:cbmax_s] = numlines_s[:cbmax_s]
+
     out.update(
         sfreq=sfreq_hz, cbmax_l=cbmax_l, cbmax_s=cbmax_s,
-        numlines=numlines, minval=minval, qthr_l=qthr_l, norm_l=norm_l,
+        numlines=numlines, numlines_pe=numlines_pe, minval=minval, qthr_l=qthr_l, norm_l=norm_l,
         bval_l=bval_l, partition_l=partition_l, s3_l=s3_l, s3_mask=s3_mask,
         numlines_s=numlines_s, qthr_s=qthr_s, norm_s=norm_s, snr_s=snr_s,
         bval_s=bval_s, partition_s=partition_s, s3_s=s3_s,
