@@ -8,6 +8,13 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The axon TPU plugin force-registers itself regardless of JAX_PLATFORMS;
+# pin the test backend explicitly.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

