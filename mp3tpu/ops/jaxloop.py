@@ -393,7 +393,7 @@ def search_stepsize(xr_abs, budget, qanf, is_short, is_short_block, ST,
         new = {k: jnp.where(_bshape(good, c[k]), c2[k], c[k]) for k in c}
         ix = jnp.where(good[:, None], ix2, ix)
         bits = jnp.where(good, b2, bits)
-        return qss, bits, ix, new, it + jnp.where(jnp.any(good), 1, 1000)
+        return qss, bits, ix, new, it + 1
 
     def down_cond(carry):
         return carry[4] < 3
@@ -426,8 +426,11 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
     # long path zeroes the short xmin and vice versa via sfb maxima
     qanf = quantanf_init(xr_abs)
 
-    sf_l0 = jnp.zeros((G, 21), jnp.int32)
-    sf_s0 = jnp.zeros((G, 12, 3), jnp.int32)
+    # derive zero-inits from varying inputs so the carries keep the
+    # same sharding "varying" type under shard_map
+    zi = (budget * 0).astype(jnp.int32)
+    sf_l0 = (xr[:, :21] * 0).astype(jnp.int32)
+    sf_s0 = (xr[:, :36] * 0).reshape(G, 12, 3).astype(jnp.int32)
     oh_l = jnp.asarray(ST["oh_l"], xr.dtype)
     oh_s = jnp.asarray(ST["oh_s"], xr.dtype)
 
@@ -473,10 +476,10 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
         sf_s = sf_s + over_s.astype(jnp.int32)
         xmin_l = jnp.where(over_l, xmin_l * 2.0, xmin_l)
         xmin_s = jnp.where(over_s, xmin_s * 2.0, xmin_s)
-        amp_l = 1.0 + over_l.astype(xr.dtype) * (_SQRT2 - 1.0)
+        amp_l = (1.0 + over_l.astype(xr.dtype) * (_SQRT2 - 1.0)).astype(xr.dtype)
         xr_a = jnp.where((~is_short)[:, None],
                          xr_a * jnp.einsum("lb,gb->gl", oh_l, amp_l), xr_a)
-        amp_s = 1.0 + over_s.astype(xr.dtype) * (_SQRT2 - 1.0)   # (G,12,3)
+        amp_s = (1.0 + over_s.astype(xr.dtype) * (_SQRT2 - 1.0)).astype(xr.dtype)  # (G,12,3)
         gain_s = jnp.einsum("lb,gbs->gls", oh_s, amp_s).reshape(G, 576)
         xr_a = jnp.where(is_short[:, None], xr_a * gain_s, xr_a)
 
@@ -494,20 +497,15 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
         it = state[8]
         return (~jnp.all(done)) & (it < max_iter)
 
-    bits0 = jnp.zeros(G, xr.dtype)
-    best0 = dict(ix=jnp.zeros((G, 576), jnp.int32), qss=qanf, bits=bits0,
-                 part2=jnp.zeros(G, jnp.int32),
-                 compress=jnp.zeros(G, jnp.int32), sf_l=sf_l0, sf_s=sf_s0,
-                 preflag=jnp.zeros(G, jnp.int32),
-                 count1=jnp.zeros(G, jnp.int32),
-                 big_values=jnp.zeros(G, jnp.int32),
-                 r0=jnp.zeros(G, jnp.int32), r1=jnp.zeros(G, jnp.int32),
-                 a1=jnp.zeros(G, jnp.int32), a2=jnp.zeros(G, jnp.int32),
-                 table_select=jnp.zeros((G, 3), jnp.int32),
-                 count1table_select=jnp.zeros(G, jnp.int32))
+    bits0 = budget * 0
+    best0 = dict(ix=(xr * 0).astype(jnp.int32), qss=qanf, bits=bits0,
+                 part2=zi, compress=zi, sf_l=sf_l0, sf_s=sf_s0,
+                 preflag=zi, count1=zi, big_values=zi,
+                 r0=zi, r1=zi, a1=zi, a2=zi,
+                 table_select=(xr[:, :3] * 0).astype(jnp.int32),
+                 count1table_select=zi)
     state = (xr_abs, xmin_l, xmin_s, sf_l0, sf_s0,
-             jnp.zeros(G, jnp.int32), qanf, jnp.zeros(G, bool),
-             0, best0)
+             zi, qanf, zi > 1, 0, best0)
     state = jax.lax.while_loop(iter_cond, iter_body, state)
     best = state[9]
     silent = jnp.max(jnp.abs(xr), axis=1) == 0.0
