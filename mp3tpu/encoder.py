@@ -217,48 +217,93 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, device_outputs=None):
             p23[ch, idx] = np.asarray(enc["part2_3_length"])
 
     # ---- final exact reservoir + stuffing + assembly
+    # vectorized side-info arrays: (nch, G, 18) in the native layout
+    # p23 bv gg compress wsf bt mixed ts0 ts1 ts2 r0 r1 pre ss c1ts part2 a1 a2
+    side = np.zeros((nch, G, 19), np.int32)
+    sfl_all = np.zeros((nch, G, 22), np.int32)
+    sfs_all = np.zeros((nch, G, 39), np.int32)
+    ix_all = np.zeros((nch, G, 576), np.int32)
+    for ch in range(nch):
+        o = outs[ch]
+        side[ch, :, 0] = p23[ch]
+        side[ch, :, 1] = o["big_values"]
+        side[ch, :, 2] = o["global_gain"]
+        side[ch, :, 3] = o["compress"]
+        side[ch, :, 4] = o["window_switching_flag"]
+        side[ch, :, 5] = np.where(o["window_switching_flag"] == 1,
+                                  o["block_type"], 0)
+        side[ch, :, 7:10] = o["table_select"]
+        side[ch, :, 10] = o["r0"]
+        side[ch, :, 11] = o["r1"]
+        side[ch, :, 12] = o["preflag"]
+        side[ch, :, 14] = o["count1table_select"]
+        side[ch, :, 15] = o["part2"]
+        side[ch, :, 16] = o["a1"]
+        side[ch, :, 17] = o["a2"]
+        side[ch, :, 18] = o["count1"]
+        sfl_all[ch, :, :21] = o["sf_l"]
+        sfs_all[ch] = o["sf_s"].reshape(G, 36)[:, :39] if o["sf_s"].shape[1:] == (36,)             else np.concatenate([o["sf_s"].reshape(G, 36),
+                                 np.zeros((G, 3), np.int32)], axis=1)
+        neg = (o["xr"] < 0) & (o["ix"] > 0)
+        ix_all[ch] = np.where(neg, -o["ix"], o["ix"])
+
+    from .runtime.bitstream import NativeAssembler
+    sfb_s_full = np.asarray(sfb_s, np.int32)
+    asm = NativeAssembler(cfg, sfb_s_full)
     resv = Reservoir()
-    asm = BS.FrameAssembler()
     main_data_begin = 0
-    scfsi = [[0] * 4 for _ in range(2)]
+    scfsi = np.zeros((2, 4), np.int32)
+    count1 = np.stack([outs[ch]["count1"] for ch in range(nch)])
     for f in range(nframes):
         resv.frame_begin(cfg.version, bits_per_frame, main_data_begin)
-        gis = [[None] * nch, [None] * nch]
-        for gr in range(2):
+        g0, g1 = 2 * f, 2 * f + 1
+        for gr in (g0, g1):
             for ch in range(nch):
-                g = f * 2 + gr
-                used = int(p23[ch, g])
-                resv.adjust(mean_bits, nch, used)
-                gis[gr][ch] = _to_gr_info(outs[ch], g, used)
-        flat = [gis[gr][ch] for gr in range(2) for ch in range(nch)]
-        resv_drain = resv.frame_end(flat, mean_bits, nch, 2)
+                resv.adjust(mean_bits, nch, int(p23[ch, gr]))
+        # stuffing (reservoir.c:155-226) applied to granule/channel p23s
+        frame_p23 = [[int(p23[ch, g]) for ch in range(nch)] for g in (g0, g1)]
+        if nch == 2 and (mean_bits & 1):
+            resv.size += 1
+        over = max(0, resv.size - resv.max)
+        resv.size -= over
+        stuffing = over
+        align = resv.size % 8
+        if align:
+            stuffing += align
+            resv.size -= align
+        resv_drain = 0
+        if stuffing:
+            if frame_p23[0][0] + stuffing < 4095:
+                frame_p23[0][0] += stuffing
+            else:
+                for gi_ in range(2):
+                    for ch in range(nch):
+                        if stuffing == 0:
+                            break
+                        extra = 4095 - frame_p23[gi_][ch]
+                        take = min(extra, stuffing)
+                        frame_p23[gi_][ch] += take
+                        stuffing -= take
+                resv_drain = stuffing
 
-        si = BS.encode_header(cfg, 0)
-        side = dict(main_data_begin=main_data_begin,
-                    private_bits=cfg.private_bits, scfsi=scfsi,
-                    granules=gis)
-        si += BS.encode_side_info(cfg, side)
-        main = []
+        # granule-major (gr, ch) layout for the native call
+        fs = np.zeros((2 * nch, 19), np.int32)
+        fl = np.zeros((2 * nch, 22), np.int32)
+        ffs = np.zeros((2 * nch, 39), np.int32)
+        fix = np.zeros((2 * nch, 576), np.int32)
         for gr in range(2):
             for ch in range(nch):
-                g = f * 2 + gr
-                gi = gis[gr][ch]
-                ix = outs[ch]["ix"][g].astype(np.int64)
-                neg = (outs[ch]["xr"][g] < 0) & (ix > 0)
-                ix = np.where(neg, -ix, ix)
-                sf_l = outs[ch]["sf_l"][g]
-                sf_s = outs[ch]["sf_s"][g]
-                main += BS.encode_scalefacs(
-                    gi, np.concatenate([sf_l, [0]]),
-                    np.concatenate([sf_s, np.zeros((1, 3), sf_s.dtype)]),
-                    scfsi[ch], gr, cfg.version)
-                main += BS.encode_spectrum(gi, ix, sfb_s)
-        if resv_drain:
-            r = resv_drain
-            while r >= 32:
-                main.append((0, 32))
-                r -= 32
-            if r:
-                main.append((0, r))
-        main_data_begin, _ = asm.add_frame(bits_per_frame, si, main)
-    return asm.flush()
+                g = 2 * f + gr
+                row = gr * nch + ch
+                fs[row] = side[ch, g]
+                fs[row, 0] = frame_p23[gr][ch]
+                # count1 trimming when stuffing pushed p23 only: none
+                fl[row] = sfl_all[ch, g]
+                ffs[row] = sfs_all[ch, g]
+                fix[row] = ix_all[ch, g]
+        main_data_begin = asm.add_frame(
+            bits_per_frame, 0, main_data_begin,
+            np.ascontiguousarray(scfsi), np.ascontiguousarray(fs),
+            np.ascontiguousarray(fl), np.ascontiguousarray(ffs),
+            np.ascontiguousarray(fix), resv_drain)
+    return asm.finish()

@@ -1,0 +1,88 @@
+"""ctypes binding to the native bitstream assembler (native/mp3bits.cpp).
+
+Builds the shared library on first use (g++ -O3) and caches it under
+native/build/.  Falls back to the Python assembler if the toolchain is
+unavailable (mp3tpu.numpy_ref.bitstream).
+"""
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB = None
+
+
+def _build():
+    build_dir = os.path.join(_NATIVE_DIR, "build")
+    os.makedirs(build_dir, exist_ok=True)
+    so = os.path.join(build_dir, "libmp3bits.so")
+    src = os.path.join(_NATIVE_DIR, "mp3bits.cpp")
+    if (not os.path.exists(so)
+            or os.path.getmtime(so) < os.path.getmtime(src)):
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", so],
+            check=True, capture_output=True)
+    return so
+
+
+def get_lib():
+    global _LIB
+    if _LIB is None:
+        so = _build()
+        lib = ctypes.CDLL(so)
+        lib.mp3bits_create.restype = ctypes.c_void_p
+        lib.mp3bits_create.argtypes = [ctypes.c_int] * 11 + [
+            ctypes.POINTER(ctypes.c_int)]
+        lib.mp3bits_frame.restype = ctypes.c_int
+        lib.mp3bits_frame.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        lib.mp3bits_finish.restype = ctypes.c_long
+        lib.mp3bits_finish.argtypes = [ctypes.c_void_p]
+        lib.mp3bits_copy.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_ubyte)]
+        lib.mp3bits_free.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+    return _LIB
+
+
+def _ptr(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+class NativeAssembler:
+    """Streaming frame assembler backed by the C++ engine."""
+
+    def __init__(self, cfg, sfb_short):
+        lib = get_lib()
+        sfb = np.ascontiguousarray(sfb_short, np.int32)
+        self._lib = lib
+        self._h = lib.mp3bits_create(
+            cfg.version, cfg.layer, cfg.bitrate_index,
+            cfg.sampling_frequency, cfg.mode, cfg.mode_ext, cfg.emphasis,
+            int(cfg.copyright), int(cfg.original),
+            int(cfg.error_protection), cfg.private_bits, _ptr(sfb))
+        self.nch = cfg.nchannels
+
+    def add_frame(self, bits_per_frame, padding, main_data_begin, scfsi,
+                  side, sfl, sfs, ix, resv_drain):
+        """All array args contiguous int32; side (2*nch, 18), sfl
+        (2*nch, 22), sfs (2*nch, 39), ix (2*nch, 576).
+        Returns nextBackPtr."""
+        return self._lib.mp3bits_frame(
+            self._h, bits_per_frame, padding, main_data_begin,
+            _ptr(scfsi), _ptr(side), _ptr(sfl), _ptr(sfs), _ptr(ix),
+            resv_drain)
+
+    def finish(self):
+        n = self._lib.mp3bits_finish(self._h)
+        out = np.empty(n, np.uint8)
+        self._lib.mp3bits_copy(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        self._lib.mp3bits_free(self._h)
+        self._h = None
+        return out.tobytes()

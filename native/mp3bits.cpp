@@ -1,0 +1,362 @@
+// Layer III bitstream assembler: native fast path.
+//
+// Byte-exact C++ reimplementation of the Python assembler in
+// mp3tpu/numpy_ref/bitstream.py (itself a replica of the reference's
+// l3bitstream.c + formatBitstream.c): MSB-first bit writer, side-info
+// FIFO realizing the main_data_begin back-pointer, scalefactor and
+// Huffman emission (ESC linbits + sign packing), ones-stuffing, and
+// the trailing zero byte the reference's close path emits.
+//
+// Exposed as a C ABI for ctypes (see mp3tpu/runtime/bitstream.py).
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <utility>
+#include <vector>
+
+#include "huffdata.h"
+
+namespace {
+
+struct BitWriter {
+  std::vector<uint8_t> buf;
+  uint64_t acc = 0;
+  int nbits = 0;
+
+  void put(uint32_t val, int n) {
+    if (n == 0) return;
+    acc = (acc << n) | (val & ((n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1)));
+    nbits += n;
+    while (nbits >= 8) {
+      nbits -= 8;
+      buf.push_back(static_cast<uint8_t>((acc >> nbits) & 0xFF));
+    }
+    acc &= (1ull << nbits) - 1;
+  }
+};
+
+struct Element {
+  uint32_t value;
+  uint16_t length;
+};
+
+struct SideRecord {
+  int frame_len;
+  std::vector<Element> si;
+  int si_bits;
+};
+
+struct GranuleSide {
+  int p23, big_values, global_gain, compress, wsf, block_type, mixed;
+  int ts[3], r0, r1, preflag, scalefac_scale, c1ts, part2, a1, a2, count1;
+};
+
+struct Assembler {
+  // config
+  int version, layer, bitrate_index, sampling_frequency, mode, mode_ext;
+  int emphasis, copyright, original, error_protection, private_bits;
+  int nch;
+  int sfb_s[14];
+
+  BitWriter bw;
+  std::deque<SideRecord> queue;
+  long bit_count = 0;
+  long this_frame_size = 0;
+  long bits_remaining = 0;
+
+  void write_side_record() {
+    SideRecord rec = std::move(queue.front());
+    queue.pop_front();
+    this_frame_size = rec.frame_len;
+    long bits = 0;
+    for (const auto& e : rec.si) {
+      bw.put(e.value, e.length);
+      bits += e.length;
+    }
+    bit_count = bits;
+    bits_remaining = this_frame_size - bit_count;
+  }
+
+  void write_main_bits(uint32_t val, int n) {
+    if (bit_count == this_frame_size) write_side_record();
+    if (n == 0) return;
+    if (n > bits_remaining) {
+      uint32_t extra = (bits_remaining >= 32) ? val : (val >> (n - bits_remaining));
+      int first = static_cast<int>(bits_remaining);
+      n -= first;
+      bw.put(extra, first);
+      write_side_record();
+      bw.put(val, n);
+    } else {
+      bw.put(val, n);
+    }
+    bit_count += n;
+    bits_remaining -= n;
+  }
+};
+
+void emit_pair(std::vector<Element>& el, int table, int x, int y) {
+  if (table == 0) return;
+  uint32_t signx = x < 0, signy = y < 0;
+  if (x < 0) x = -x;
+  if (y < 0) y = -y;
+  int linbits = HUFF_LINBITS[table];
+  if (table > 15) {
+    int linx = 0, liny = 0;
+    int xc = x, yc = y;
+    if (xc > 14) { linx = xc - 15; xc = 15; }
+    if (yc > 14) { liny = yc - 15; yc = 15; }
+    int idx = xc * 16 + yc;
+    uint32_t code = HUFF_CODES[table][idx];
+    int cbits = HUFF_HLEN[table][idx];
+    uint32_t ext = 0;
+    int xbits = 0;
+    if (x > 14) { ext |= linx; xbits += linbits; }
+    if (x != 0) { ext = (ext << 1) | signx; xbits += 1; }
+    if (y > 14) { ext = (ext << linbits) | liny; xbits += linbits; }
+    if (y != 0) { ext = (ext << 1) | signy; xbits += 1; }
+    if (cbits) el.push_back({code, static_cast<uint16_t>(cbits)});
+    if (xbits) el.push_back({ext, static_cast<uint16_t>(xbits)});
+  } else {
+    int idx = x * 16 + y;
+    uint32_t code = HUFF_CODES[table][idx];
+    int cbits = HUFF_HLEN[table][idx];
+    if (x != 0) { code = (code << 1) | signx; cbits += 1; }
+    if (y != 0) { code = (code << 1) | signy; cbits += 1; }
+    if (cbits) el.push_back({code, static_cast<uint16_t>(cbits)});
+  }
+}
+
+long emit_granule_main(std::vector<Element>& el, const GranuleSide& g,
+                       const int* sfl, const int* sfs, const int* ix,
+                       const int* sfb_s, int gr, const int* scfsi) {
+  long bits = 0;
+  // scalefactors (l3bitstream.c:195-254)
+  static const int SLEN1[16] = {0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4};
+  static const int SLEN2[16] = {0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3};
+  int s1 = SLEN1[g.compress], s2 = SLEN2[g.compress];
+  if (g.wsf && g.block_type == 2) {
+    for (int sfb = 0; sfb < 6; sfb++)
+      for (int w = 0; w < 3; w++) {
+        if (s1) el.push_back({(uint32_t)sfs[sfb * 3 + w], (uint16_t)s1});
+        bits += s1;
+      }
+    for (int sfb = 6; sfb < 12; sfb++)
+      for (int w = 0; w < 3; w++) {
+        if (s2) el.push_back({(uint32_t)sfs[sfb * 3 + w], (uint16_t)s2});
+        bits += s2;
+      }
+  } else {
+    static const int GROUPS[4][2] = {{0, 6}, {6, 11}, {11, 16}, {16, 21}};
+    for (int band = 0; band < 4; band++) {
+      if (gr == 1 && scfsi[band]) continue;
+      int sl = band < 2 ? s1 : s2;
+      for (int sfb = GROUPS[band][0]; sfb < GROUPS[band][1]; sfb++) {
+        if (sl) el.push_back({(uint32_t)sfl[sfb], (uint16_t)sl});
+        bits += sl;
+      }
+    }
+  }
+
+  // big values (l3bitstream.c:516-716)
+  size_t start_idx = el.size();
+  long data_bits = 0;
+  auto count_from = [&](size_t from) {
+    long b = 0;
+    for (size_t i = from; i < el.size(); i++) b += el[i].length;
+    return b;
+  };
+  int bigvalues = g.big_values * 2;
+  if (bigvalues) {
+    if (g.wsf && g.block_type == 2 && !g.mixed) {
+      for (int sfb = 0; sfb < 13; sfb++) {
+        int s = sfb_s[sfb], e = sfb_s[sfb + 1];
+        int t = (s < 12) ? g.ts[0] : g.ts[1];
+        for (int w = 0; w < 3; w++)
+          for (int line = s; line < e; line += 2)
+            emit_pair(el, t, ix[3 * line + w], ix[3 * (line + 1) + w]);
+      }
+    } else {
+      int r1s = g.a1, r2s = g.a2;
+      for (int i = 0; i < bigvalues; i += 2) {
+        int t = (i < r1s) ? g.ts[0] : (i < r2s ? g.ts[1] : g.ts[2]);
+        emit_pair(el, t, ix[i], ix[i + 1]);
+      }
+    }
+  }
+  // count1 quads
+  {
+    int table = 32 + g.c1ts;
+    int end = bigvalues + g.count1 * 4;
+    for (int i = bigvalues; i < end; i += 4) {
+      int v[4] = {ix[i], ix[i + 1], ix[i + 2], ix[i + 3]};
+      int a[4], sg[4];
+      for (int k = 0; k < 4; k++) {
+        sg[k] = v[k] < 0;
+        a[k] = v[k] < 0 ? -v[k] : v[k];
+      }
+      int p = a[0] + (a[1] << 1) + (a[2] << 2) + (a[3] << 3);
+      el.push_back({HUFF_CODES[table][p], HUFF_HLEN[table][p]});
+      for (int k = 0; k < 4; k++)
+        if (a[k]) el.push_back({(uint32_t)sg[k], 1});
+    }
+  }
+  data_bits = count_from(start_idx);
+  // ones-stuffing to part2_3_length
+  long stuffing = (long)g.p23 - (long)g.part2 - data_bits;
+  while (stuffing >= 32) {
+    el.push_back({0xFFFFFFFFu, 32});
+    stuffing -= 32;
+  }
+  if (stuffing > 0) el.push_back({(1u << stuffing) - 1, (uint16_t)stuffing});
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* mp3bits_create(int version, int layer, int bitrate_index,
+                     int sampling_frequency, int mode, int mode_ext,
+                     int emphasis, int copyright, int original,
+                     int error_protection, int private_bits,
+                     const int* sfb_short_table) {
+  auto* a = new Assembler();
+  a->version = version;
+  a->layer = layer;
+  a->bitrate_index = bitrate_index;
+  a->sampling_frequency = sampling_frequency;
+  a->mode = mode;
+  a->mode_ext = mode_ext;
+  a->emphasis = emphasis;
+  a->copyright = copyright;
+  a->original = original;
+  a->error_protection = error_protection;
+  a->private_bits = private_bits;
+  a->nch = (mode == 3) ? 1 : 2;
+  memcpy(a->sfb_s, sfb_short_table, 14 * sizeof(int));
+  return a;
+}
+
+// side: ngr*nch records of 19 ints (order gr-major):
+//   p23 bv gg compress wsf bt mixed ts0 ts1 ts2 r0 r1 preflag ss c1ts
+//   part2 a1 a2 count1
+int mp3bits_frame(void* h, int bits_per_frame, int padding, int main_data_begin,
+                  const int* scfsi, const int* side, const int* sfl,
+                  const int* sfs, const int* ix, int resv_drain) {
+  auto* a = static_cast<Assembler*>(h);
+  int nch = a->nch;
+  SideRecord rec;
+  rec.frame_len = bits_per_frame;
+  auto& si = rec.si;
+  // header (l3bitstream.c:322-334)
+  si.push_back({0xFFF, 12});
+  si.push_back({(uint32_t)a->version, 1});
+  si.push_back({(uint32_t)(4 - a->layer), 2});
+  si.push_back({(uint32_t)(a->error_protection ? 0 : 1), 1});
+  si.push_back({(uint32_t)a->bitrate_index, 4});
+  si.push_back({(uint32_t)a->sampling_frequency, 2});
+  si.push_back({(uint32_t)padding, 1});
+  si.push_back({0, 1});
+  si.push_back({(uint32_t)a->mode, 2});
+  si.push_back({(uint32_t)a->mode_ext, 2});
+  si.push_back({(uint32_t)a->copyright, 1});
+  si.push_back({(uint32_t)a->original, 1});
+  si.push_back({(uint32_t)a->emphasis, 2});
+  // side info (MPEG-1)
+  si.push_back({(uint32_t)main_data_begin, 9});
+  si.push_back({(uint32_t)a->private_bits, (uint16_t)(nch == 2 ? 3 : 5)});
+  for (int ch = 0; ch < nch; ch++)
+    for (int b = 0; b < 4; b++) si.push_back({(uint32_t)scfsi[ch * 4 + b], 1});
+  for (int g = 0; g < 2 * nch; g++) {
+    const int* s = side + 19 * g;
+    GranuleSide gs{s[0], s[1], s[2], s[3], s[4], s[5], s[6],
+                   {s[7], s[8], s[9]}, s[10], s[11], s[12], s[13], s[14],
+                   s[15], s[16], s[17], s[18]};
+    si.push_back({(uint32_t)gs.p23, 12});
+    si.push_back({(uint32_t)gs.big_values, 9});
+    si.push_back({(uint32_t)gs.global_gain, 8});
+    si.push_back({(uint32_t)gs.compress, 4});
+    si.push_back({(uint32_t)gs.wsf, 1});
+    if (gs.wsf) {
+      si.push_back({(uint32_t)gs.block_type, 2});
+      si.push_back({(uint32_t)gs.mixed, 1});
+      si.push_back({(uint32_t)gs.ts[0], 5});
+      si.push_back({(uint32_t)gs.ts[1], 5});
+      si.push_back({0, 3});
+      si.push_back({0, 3});
+      si.push_back({0, 3});
+    } else {
+      si.push_back({(uint32_t)gs.ts[0], 5});
+      si.push_back({(uint32_t)gs.ts[1], 5});
+      si.push_back({(uint32_t)gs.ts[2], 5});
+      si.push_back({(uint32_t)gs.r0, 4});
+      si.push_back({(uint32_t)gs.r1, 3});
+    }
+    si.push_back({(uint32_t)gs.preflag, 1});
+    si.push_back({(uint32_t)gs.scalefac_scale, 1});
+    si.push_back({(uint32_t)gs.c1ts, 1});
+  }
+  long si_bits = 0;
+  for (auto& e : si) si_bits += e.length;
+  rec.si_bits = static_cast<int>(si_bits);
+  a->queue.push_back(std::move(rec));
+
+  // main data elements
+  std::vector<Element> main;
+  main.reserve(2048);
+  for (int g = 0; g < 2 * nch; g++) {
+    const int* s = side + 19 * g;
+    GranuleSide gs{s[0], s[1], s[2], s[3], s[4], s[5], s[6],
+                   {s[7], s[8], s[9]}, s[10], s[11], s[12], s[13], s[14],
+                   s[15], s[16], s[17], s[18]};
+    int gr = g / nch, ch = g % nch;
+    emit_granule_main(main, gs, sfl + 22 * g, sfs + 39 * g, ix + 576 * g,
+                      a->sfb_s, gr, scfsi + 4 * ch);
+  }
+  long drain = resv_drain;
+  while (drain >= 32) {
+    main.push_back({0, 32});
+    drain -= 32;
+  }
+  if (drain > 0) main.push_back({0, (uint16_t)drain});
+
+  for (const auto& e : main) a->write_main_bits(e.value, e.length);
+
+  // nextBackPtr (formatBitstream.c:77-80)
+  long fwd_frame = 0, fwd_si = 0;
+  for (const auto& r : a->queue) {
+    fwd_frame += r.frame_len;
+    fwd_si += r.si_bits;
+  }
+  return static_cast<int>(a->bits_remaining / 8 + fwd_frame / 8 - fwd_si / 8);
+}
+
+long mp3bits_finish(void* h) {
+  auto* a = static_cast<Assembler*>(h);
+  long fwd_frame = 0, fwd_si = 0;
+  for (const auto& r : a->queue) {
+    fwd_frame += r.frame_len;
+    fwd_si += r.si_bits;
+  }
+  if (!a->queue.empty()) {
+    long remaining = fwd_frame - fwd_si;
+    while (remaining >= 32) {
+      a->write_main_bits(0, 32);
+      remaining -= 32;
+    }
+    a->write_main_bits(0, static_cast<int>(remaining));
+  }
+  // trailing in-progress byte like close_bit_stream_w (common.c:968-972)
+  a->bw.buf.push_back(0);
+  return static_cast<long>(a->bw.buf.size());
+}
+
+void mp3bits_copy(void* h, unsigned char* out) {
+  auto* a = static_cast<Assembler*>(h);
+  memcpy(out, a->bw.buf.data(), a->bw.buf.size());
+}
+
+void mp3bits_free(void* h) { delete static_cast<Assembler*>(h); }
+
+}  // extern "C"
