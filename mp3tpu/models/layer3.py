@@ -60,5 +60,24 @@ def encode_granules(xr, ratio_l, ratio_s, block_type, budget, version,
     """Rate loop for a granule batch at given budgets (bits)."""
     ST = jaxloop._static(version, sampling_frequency)
     is_short_block = block_type != mpeg.NORM_TYPE
-    return jaxloop.outer_loop(xr, budget, ratio_l, ratio_s,
-                              is_short_block, block_type, ST)
+    out = jaxloop.outer_loop(xr, budget, ratio_l, ratio_s,
+                             is_short_block, block_type, ST)
+    out["ix"] = jnp.where((xr < 0) & (out["ix"] > 0), -out["ix"], out["ix"])
+    return out
+
+
+@partial(jax.jit, static_argnames=("version", "sampling_frequency"),
+         donate_argnames=("state",))
+def encode_update(state, xr, ratio_l, ratio_s, block_type, idx, budget,
+                  version, sampling_frequency):
+    """Re-encode the granules at ``idx`` (device-side gather) and
+    scatter the results into the device-resident state dict.  Keeps all
+    large arrays on device; only scalars cross the host link."""
+    ST = jaxloop._static(version, sampling_frequency)
+    xr_g = xr[idx]
+    bt_g = block_type[idx]
+    out = jaxloop.outer_loop(xr_g, budget, ratio_l[idx], ratio_s[idx],
+                             bt_g != mpeg.NORM_TYPE, bt_g, ST)
+    out["ix"] = jnp.where((xr_g < 0) & (out["ix"] > 0), -out["ix"], out["ix"])
+    new_state = {k: state[k].at[idx].set(out[k]) for k in state}
+    return new_state, out["part2_3_length"]

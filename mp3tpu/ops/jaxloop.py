@@ -162,7 +162,9 @@ def _region_table_bits(ix, a1, a2, bvr, perm, is_short, r0_pairs_short):
     xc = jnp.minimum(x, 15)
     yc = jnp.minimum(y, 15)
     pidx = xc * 16 + yc                                 # (G, 288)
-    onehot = jax.nn.one_hot(pidx, 256, dtype=jnp.float32)
+    # bf16 one-hot halves HBM traffic; values 0/1 and the per-pair
+    # costs (<= 64) are exact in bf16, accumulation is f32
+    onehot = jax.nn.one_hot(pidx, 256, dtype=jnp.bfloat16)
     pos2 = 2 * jnp.arange(288)[None, :]
     long_region = jnp.where(pos2 < a1[:, None], 0,
                   jnp.where(pos2 < a2[:, None], 1, 2))
@@ -170,9 +172,13 @@ def _region_table_bits(ix, a1, a2, bvr, perm, is_short, r0_pairs_short):
     short_region = jnp.where(jnp.arange(288)[None, :] < r0_pairs_short, 0, 1)
     region = jnp.where(is_short[:, None], short_region, long_region)
     valid = jnp.where(is_short[:, None], True, long_valid)
-    regmask = jax.nn.one_hot(region, 3, dtype=jnp.float32) * valid[:, :, None].astype(jnp.float32)
-    hist = jnp.einsum("gpc,gpr->grc", onehot, regmask)   # (G, 3, 256)
-    bits_tab = hist @ jnp.asarray(_PAIR_BITS.T)          # (G, 3, 32)
+    regmask = (jax.nn.one_hot(region, 3, dtype=jnp.bfloat16)
+               * valid[:, :, None].astype(jnp.bfloat16))
+    hist = jnp.einsum("gpc,gpr->grc", onehot, regmask,
+                      preferred_element_type=jnp.float32)  # (G, 3, 256)
+    bits_tab = jnp.einsum("grc,tc->grt", hist,
+                          jnp.asarray(_PAIR_BITS),
+                          preferred_element_type=jnp.float32)
     # extra linbits for values beyond the LUT clip: LUT charges linbits
     # once per clipped-15 component; true emission also uses linbits
     # (fixed width) so the count is exact as long as value-15 <= linmax,
@@ -346,6 +352,34 @@ def _bits_at(xr_abs, qss, is_short, is_short_block, ST):
     return bits, ix, c
 
 
+def search_walk(xr_abs, budget, start_qss, is_short, is_short_block, ST,
+                max_steps=40):
+    """Monotone up-walk from a warm start: after scalefactor
+    amplification the feasible stepsize only increases (the reference
+    resumes its inner loop the same way, loop.c:580)."""
+    qss = start_qss
+    bits, ix, c = _bits_at(xr_abs, qss, is_short, is_short_block, ST)
+
+    def body(carry):
+        qss, bits, ix, c, it = carry
+        qss2 = qss + 1.0
+        b2, ix2, c2 = _bits_at(xr_abs, qss2, is_short, is_short_block, ST)
+        bad = bits > budget
+        qss = jnp.where(bad, qss2, qss)
+        new = {k: jnp.where(_bshape(bad, c[k]), c2[k], c[k]) for k in c}
+        ix = jnp.where(bad[:, None], ix2, ix)
+        bits = jnp.where(bad, b2, bits)
+        return qss, bits, ix, new, it + 1
+
+    def cond(carry):
+        _, bits, _, _, it = carry
+        return jnp.any(bits > budget) & (it < max_steps)
+
+    qss, bits, ix, c, _ = jax.lax.while_loop(
+        cond, body, (qss, bits, ix, c, 0))
+    return qss, bits, ix, c
+
+
 def search_stepsize(xr_abs, budget, qanf, is_short, is_short_block, ST,
                     n_bisect=9):
     """Find an integer stepsize with bits <= budget via bisection on
@@ -439,8 +473,9 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
          best) = state
         compress, part2, overflow = scale_bitcount(sf_l, sf_s, is_short)
         huff = jnp.maximum(budget - part2, 0)
-        qss, bits, ix, c = search_stepsize(
-            xr_a, huff.astype(xr.dtype), qanf, is_short, is_short_block, ST)
+        qss, bits, ix, c = search_walk(
+            xr_a, huff.astype(xr.dtype), qss_prev, is_short,
+            is_short_block, ST)
         xfsf_l, xfsf_s = calc_noise(xr_a, ix, qss, is_short, ST)
 
         # retain the latest encoding as current best (reference keeps
@@ -484,12 +519,13 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
         xr_a = jnp.where(is_short[:, None], xr_a * gain_s, xr_a)
 
         over_any = jnp.any(over_l, axis=1) | jnp.any(over_s, axis=(1, 2))
+        qss_prev = qss  # warm start for the next iteration
         all_amped = jnp.where(is_short,
                               jnp.all(sf_s > 0, axis=(1, 2)),
                               jnp.all(sf_l[:, :21] > 0, axis=1))
         _, _, overflow2 = scale_bitcount(sf_l, sf_s, is_short)
         done = done | (~over_any) | all_amped | overflow2
-        return (xr_a, xmin_l, xmin_s, sf_l, sf_s, preflag, qss, done,
+        return (xr_a, xmin_l, xmin_s, sf_l, sf_s, preflag, qss_prev, done,
                 it + 1, best)
 
     def iter_cond(state):
@@ -504,8 +540,11 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
                  r0=zi, r1=zi, a1=zi, a2=zi,
                  table_select=(xr[:, :3] * 0).astype(jnp.int32),
                  count1table_select=zi)
+    # initial full bisection once, outside the loop; iterations warm-walk
+    qss_init, _, _, _ = search_stepsize(
+        xr_abs, budget.astype(xr.dtype), qanf, is_short, is_short_block, ST)
     state = (xr_abs, xmin_l, xmin_s, sf_l0, sf_s0,
-             zi, qanf, zi > 1, 0, best0)
+             zi, qss_init, zi > 1, 0, best0)
     state = jax.lax.while_loop(iter_cond, iter_body, state)
     best = state[9]
     silent = jnp.max(jnp.abs(xr), axis=1) == 0.0
