@@ -60,6 +60,10 @@ def encode_sharded(mesh, blocks, budget, version, sampling_frequency,
         out = jaxloop.outer_loop(xr, budget_s, psy["ratio_l"],
                                  psy["ratio_s"], is_short_block,
                                  psy["block_type"], ST)
+        # reapply spectrum signs (l3bitstream.c:114-126), same as
+        # models.layer3.encode_granules
+        out["ix"] = jnp.where((xr < 0) & (out["ix"] > 0), -out["ix"],
+                              out["ix"])
         out["pe"] = psy["pe"]
         out["xr"] = xr
         # a cheap cross-shard reduction exercises the ICI path and

@@ -15,44 +15,47 @@ def test_dryrun_multichip():
 
 
 @pytest.mark.slow
-def test_sharded_matches_single_device_interior():
-    """Sharded encode must agree with the single-device pipeline for
-    all granules whose halos do not cross the stream start; block-type
-    FSM state at shard boundaries may differ by design (valid streams
-    either way), so compare a granule range away from FSM attacks."""
+def test_sharded_matches_chunked_single_device():
+    """The sharded encode must agree with a single-device run that
+    feeds the same 8-granule chunks with explicit halos (the exact
+    computation each shard performs, with ppermute replaced by host
+    slicing).  This isolates the halo-exchange logic from float32
+    batch-shape jitter: shapes match, so any disagreement beyond XLA's
+    shard_map-vs-jit fusion noise is a sharding bug."""
     n = 8
-    G = 8 * n
-    rng = np.random.RandomState(7)
-    # low-level stationary signal: no attacks -> FSM stays NORM and the
-    # sharded result must match exactly
+    per = 8
+    G = per * n
+    # low-level stationary signal: no attacks -> FSM stays NORM
     tt = np.arange(G * 576) / 44100.0
     x = (1500 * np.sin(2 * np.pi * 200.0 * tt)).astype(np.float32)
     blocks = x.reshape(G, 576)
     budget = np.full(G, 900.0, np.float32)
 
-    ana = layer3.analyze_granules(blocks, np.zeros((2, 576), np.float32),
-                                  1, 0, 44100.0)
-    ref = layer3.encode_granules(ana["xr"], ana["ratio_l"], ana["ratio_s"],
-                                 ana["block_type"], budget, 1, 0)
+    ix_chunks, p23_chunks = [], []
+    for s in range(n):
+        halo = (np.zeros((2, 576), np.float32) if s == 0
+                else blocks[per * s - 2: per * s])
+        ana = layer3.analyze_granules(blocks[per * s: per * s + per], halo,
+                                      1, 0, 44100.0)
+        enc = layer3.encode_granules(
+            ana["xr"], ana["ratio_l"], ana["ratio_s"], ana["block_type"],
+            budget[per * s: per * s + per], 1, 0)
+        ix_chunks.append(np.asarray(enc["ix"]))
+        p23_chunks.append(np.asarray(enc["part2_3_length"]))
+    ix_ref = np.concatenate(ix_chunks)
+    p23_ref = np.concatenate(p23_chunks)
 
     mesh = sharding.make_mesh(devices=jax.devices()[:n])
     out = sharding.encode_sharded(mesh, blocks, budget, 1, 0, 44100.0)
-
-    ix_ref = np.asarray(ref["ix"])
     ix_sh = np.asarray(out["ix"])
-    # identical away from shard-boundary psy halos: the pre-echo memory
-    # nb_1/nb_2 reaches 2 granules and itself depends on the two-granule
-    # unpredictability history, so the first 4 granules of a shard can
-    # differ slightly
-    per = G // n
-    interior = np.ones(G, bool)
-    for s in range(n):
-        interior[s * per: s * per + 4] = False
-    # float32 accumulation order differs between batch shapes, so xr
-    # carries ~1e-9 jitter that occasionally flips a rounding decision;
-    # require coefficient-level agreement, not bit-identity
-    coef_match = (ix_ref[interior] == ix_sh[interior]).mean()
+    p23_sh = np.asarray(out["part2_3_length"])
+
+    # shard_map and jit may fuse float32 reductions differently; the
+    # residual jitter (~4e-9 in xr) can flip nint() on coefficients at
+    # the noise floor, so allow a tiny mismatch budget -- but any sign
+    # error or search divergence would blow well past it
+    coef_match = (ix_ref == ix_sh).mean()
     assert coef_match > 0.999, coef_match
-    p23_ref = np.asarray(ref["part2_3_length"])[interior]
-    p23_sh = np.asarray(out["part2_3_length"])[interior]
-    assert np.mean(np.abs(p23_ref - p23_sh) <= 64) > 0.9
+    mism = ix_ref != ix_sh
+    assert np.abs(ix_ref[mism] - ix_sh[mism]).max(initial=0) <= 1
+    assert np.abs(p23_ref.astype(np.int64) - p23_sh).max() <= 16
