@@ -50,7 +50,11 @@ def _init_params(sfreq):
     key = float(sfreq)
     if key in _PARAM_CACHE:
         return _PARAM_CACHE[key]
+    import os
+
     from ..tables import psy as psytab
+    _D = np.load(os.path.join(os.path.dirname(psytab.__file__), "data",
+                              "iso_tables.npz"))
 
     freq_mult = sfreq / BLKSIZE
     # bark value of each line (fthr as temp storage, float32 array)
@@ -113,7 +117,7 @@ def _init_params(sfreq):
         rnorm[j] = acc
 
     sfreq_idx = {32000.0: 0, 44100.0: 1, 48000.0: 2}[key]
-    absthr = psytab.ABSTHR[sfreq_idx].astype(np.float64)
+    absthr = _D[f"absthr_{sfreq_idx}"].astype(np.float64)
     P = dict(partition=partition, cbval=cbval, numlines=numlines, s=s,
              tmn=tmn, rnorm=rnorm, absthr=absthr)
     _PARAM_CACHE[key] = P

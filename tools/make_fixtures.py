@@ -75,6 +75,22 @@ FIXTURES = [
 ]
 
 
+# Layer I/II fixtures: (name, kind, secs, rate, nch, bitrate, layer,
+# mode_flag, extra_flags)
+LAYER12_FIXTURES = [
+    ("l2_sine_st_192", "sine", 0.8, 44100, 2, 192, 2, "s", []),
+    ("l2_noise_j_128", "noise", 0.8, 44100, 2, 128, 2, "j", []),
+    ("l2_sweep_mono_96", "sweep", 0.8, 44100, 1, 96, 2, "m", []),
+    ("l2_trans_st_256_48k", "transient", 0.8, 48000, 2, 256, 2, "s", []),
+    ("l2_sine_st_128_32k", "sine", 0.8, 32000, 2, 128, 2, "s", []),
+    ("l2_noise_st_192_crc", "noise", 0.6, 44100, 2, 192, 2, "s", ["-e"]),
+    ("l1_sine_st_384", "sine", 0.6, 44100, 2, 384, 1, "s", []),
+    ("l1_noise_mono_192", "noise", 0.6, 44100, 1, 192, 1, "m", []),
+    ("l1_sweep_j_256", "sweep", 0.6, 44100, 2, 256, 1, "j", []),
+    ("l1_noise_st_448_48k_crc", "noise", 0.6, 48000, 2, 448, 1, "s", ["-e"]),
+]
+
+
 def main():
     os.makedirs(GOLDEN, exist_ok=True)
     for name, kind, secs, rate, nch, kbps, mode in FIXTURES:
@@ -87,7 +103,26 @@ def main():
         r = subprocess.run(cmd, capture_output=True, text=True)
         assert os.path.exists(mp3) and os.path.getsize(mp3) > 0, (name, r.stderr, r.stdout)
         print(name, os.path.getsize(mp3), "bytes")
+    main_layer12()
+
+
+def main_layer12():
+    for (name, kind, secs, rate, nch, kbps, layer, mode,
+         extra) in LAYER12_FIXTURES:
+        wav = os.path.join(GOLDEN, f"{name}.wav")
+        out = os.path.join(GOLDEN, f"{name}.ref.mp{layer}")
+        pcm = gen_signal(kind, secs, rate, nch, seed=1)
+        write_wav(wav, pcm, rate)
+        cmd = [REF, "-l", str(layer), "-m", mode, "-p", "2",
+               "-s", str(rate / 1000.0), "-b", str(kbps)] + extra + [wav, out]
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        assert os.path.exists(out) and os.path.getsize(out) > 0, (name, r.stderr)
+        print(name, os.path.getsize(out), "bytes")
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "layer12":
+        main_layer12()
+    else:
+        main()
