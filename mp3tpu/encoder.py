@@ -19,6 +19,7 @@ import numpy as np
 from .config import EncoderConfig
 from .models import layer3
 from .numpy_ref.reservoir import Reservoir
+from .tables import layer12 as T12
 from .tables import mpeg
 
 # device-resident per-granule outputs scattered by encode_update
@@ -273,3 +274,252 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig):
             np.ascontiguousarray(fl), np.ascontiguousarray(ffs),
             np.ascontiguousarray(fix), resv_drain)
     return asm.finish()
+
+
+def encode_layer12_fast(pcm, cfg: EncoderConfig):
+    """Layer I/II TPU path: device filterbank/psy/scale-factors/scfsi/
+    quantization (mp3tpu.ops.jaxlayer12), exact vectorized greedy bit
+    allocation on host (mp3tpu.runtime.alloc12 -- no cross-frame state,
+    all frames in lockstep), vectorized element marshalling, native
+    C++ bit packing.
+
+    Deviation from the byte-exact oracle (mp3tpu.numpy_ref.layer12):
+    the DSP runs in float32 with jnp.fft instead of the reference's
+    float32 split-radix, so allocation can differ on threshold ties;
+    streams are always valid and decoded quality is equal.
+    """
+    import jax.numpy as jnp
+
+    from .ops import jaxlayer12 as J
+    from .runtime import alloc12
+    from .runtime.bitstream import pack_elements
+
+    cfg.finalize()
+    layer = cfg.layer
+    assert layer in (1, 2)
+    pcm = np.atleast_2d(np.asarray(pcm, np.float32))
+    if pcm.shape[0] > pcm.shape[1]:
+        pcm = pcm.T
+    nch = cfg.nchannels
+    assert pcm.shape[0] == nch
+    sfreq_khz = mpeg.S_FREQ_KHZ[cfg.version][cfg.sampling_frequency]
+    spf = 384 if layer == 1 else 1152
+    bits_per_slot = 32 if layer == 1 else 8
+    nframes = int(np.ceil(pcm.shape[1] / spf))
+    pcm = np.pad(pcm, ((0, 0), (0, nframes * spf - pcm.shape[1])))
+    F = nframes
+    ngroups = 1 if layer == 1 else 3
+    joint = cfg.mode == mpeg.MODE_JOINT
+
+    table, sblimit = T12.pick_table(
+        cfg.version, layer, cfg.bitrate_index, cfg.sampling_frequency,
+        nch, cfg.bitrate_kbps, float(sfreq_khz))
+    whole_spf = int((spf / float(sfreq_khz))
+                    * (cfg.bitrate_kbps / float(bits_per_slot)))
+    adb = whole_spf * bits_per_slot
+
+    # layer 1 filterbank stream is the PCM delayed by 64 samples
+    # (encode.c:221-246; see the oracle)
+    if layer == 1:
+        fb = np.concatenate([np.zeros((nch, 64), pcm.dtype),
+                             pcm[:, :-64]], axis=1)
+    else:
+        fb = pcm
+
+    ana = J.analyze_frames(jnp.asarray(pcm), jnp.asarray(fb), layer,
+                           table, sblimit, nch, F,
+                           float(sfreq_khz) * 1000.0)
+    snr = np.asarray(ana["snr"], np.float64)      # (nch, F, 32)
+    scalar = np.asarray(ana["scalar"])            # (nch, F, G, 32)
+    scfsi = (np.asarray(ana["scfsi"]) if layer == 2 else None)
+
+    smr = np.empty((F, 2, 32))
+    smr[:, 0] = snr[0]
+    smr[:, 1] = snr[nch - 1]
+    scfsi_fc = None
+    if layer == 2:
+        scfsi_fc = np.empty((F, 2, 32), np.int64)
+        scfsi_fc[:, 0] = scfsi[0]
+        scfsi_fc[:, 1] = scfsi[nch - 1]
+
+    # joint mode decision + allocation (host, exact)
+    if joint:
+        is_js, mode_ext, jsbound = alloc12.joint_mode(
+            smr, scfsi_fc, adb, layer, table, nch, cfg.error_protection)
+        mode = np.where(is_js, mpeg.MODE_JOINT, mpeg.MODE_STEREO)
+    else:
+        mode = np.full(F, cfg.mode)
+        mode_ext = np.zeros(F, np.int64)
+        jsbound = np.full(F, sblimit if layer == 2 else 32)
+    ba, adb_left = alloc12.greedy_allocation(
+        smr, scfsi_fc, np.full(F, adb), jsbound, layer, table, nch,
+        cfg.error_protection)
+
+    # quantization on device: substitute joint samples/scales above
+    # jsbound for channel 0's lane (encode.c:1245-1249, 1288-1291)
+    sbq = np.asarray(ana["sb"])                   # (nch, F, G, 12, 32)
+    js = np.arange(32)[None, :] >= jsbound[:, None]           # (F, 32)
+    if joint and nch == 2:
+        j_sample = np.asarray(ana["j_sample"])
+        j_scale = np.asarray(ana["j_scale"])
+        sb0 = np.where(js[:, None, None, :], j_sample, sbq[0])
+        sc0 = np.where(js[:, None, :], j_scale, scalar[0])
+    else:
+        sb0 = sbq[0]
+        sc0 = scalar[0]
+    quant = J.quantize_l1 if layer == 1 else (
+        lambda s, c, b: J.quantize_l2(s, c, b, table))
+    codes = [np.asarray(quant(jnp.asarray(sb0), jnp.asarray(sc0),
+                              jnp.asarray(ba[:, 0])))]
+    if nch == 2:
+        codes.append(np.asarray(quant(
+            jnp.asarray(sbq[1]), jnp.asarray(scalar[1]),
+            jnp.asarray(ba[:, 1]))))
+    codes = np.stack(codes).astype(np.int64)      # (nch, F, G, 12, 32)
+
+    elements = _marshal_layer12(cfg, layer, table, sblimit, nch, F,
+                                mode, mode_ext, jsbound, ba, scfsi,
+                                scalar, codes, adb_left)
+    values, lengths = elements
+    return pack_elements(values, lengths) + b"\x00"
+
+
+def _marshal_layer12(cfg, layer, table, sblimit, nch, F, mode, mode_ext,
+                     jsbound, ba, scfsi, scalar, codes, adb_left):
+    """Build the flat (value, length) element stream for all frames,
+    fully vectorized.  Element layout per frame (musicin.c:621-705):
+    header [crc] bit_alloc [scfsi] scalefactors samples ancillary."""
+    js = np.arange(32)[None, :] >= jsbound[:, None]           # (F, 32)
+    active = np.arange(32)[None, :] < sblimit                 # (1, 32)
+
+    # --- header word (encode.c:419-438)
+    hdr = (0xFFF << 20) | (cfg.version << 19) | ((4 - layer) << 17) \
+        | ((0 if cfg.error_protection else 1) << 16) \
+        | (cfg.bitrate_index << 12) | (cfg.sampling_frequency << 10) \
+        | (0 << 9) | (cfg.extension << 8) \
+        | (int(cfg.copyright) << 3) | (int(cfg.original) << 2) \
+        | cfg.emphasis
+    header = (hdr | (mode.astype(np.int64) << 6)
+              | (mode_ext.astype(np.int64) << 4))             # (F,)
+    per_frame = [(header[:, None], np.full((F, 1), 32))]
+
+    # --- CRC (common.c:1251-1308); tiny per-frame loop, only if on
+    if cfg.error_protection:
+        from .numpy_ref.layer12 import _crc_calc
+        from .tables import layer12 as T
+        alloc = T.ALLOC[table] if layer == 2 else None
+        crc = np.zeros(F, np.int64)
+        ba2 = ba if nch == 2 else np.repeat(ba[:, :1], 2, axis=1)
+        for f in range(F):
+            crc[f] = _crc_calc(
+                cfg, 0, int(mode[f]), int(mode_ext[f]), ba2[f],
+                None if scfsi is None else
+                np.stack([scfsi[0][f], scfsi[nch - 1][f]]),
+                nch, sblimit, int(jsbound[f]), alloc, layer)
+        per_frame.append((crc[:, None], np.full((F, 1), 16)))
+
+    # --- bit allocation: sb outer, ch inner
+    nbal = (np.full(32, 4) if layer == 1
+            else np.asarray(__import__("mp3tpu.tables.layer12",
+                                       fromlist=["x"]).ALLOC[table]["nbal"]))
+    bav = np.zeros((F, 32, nch), np.int64)
+    bal = np.zeros((F, 32, nch), np.int64)
+    for ch in range(nch):
+        bav[:, :, ch] = ba[:, ch]
+        bal[:, :, ch] = nbal[None, :] * active
+    if nch == 2:
+        bal[:, :, 1] = np.where(js, 0, bal[:, :, 1])
+    per_frame.append((bav.reshape(F, -1), bal.reshape(F, -1)))
+
+    if layer == 2:
+        # --- scfsi: sb outer ch inner where ba != 0 (both channels)
+        sv = np.zeros((F, 32, nch), np.int64)
+        sl = np.zeros((F, 32, nch), np.int64)
+        for ch in range(nch):
+            sv[:, :, ch] = scfsi[ch]
+            sl[:, :, ch] = np.where(ba[:, ch] != 0, 2, 0)
+        per_frame.append((sv.reshape(F, -1), sl.reshape(F, -1)))
+        # --- scale factors: 3 slots per (sb, ch)
+        fv = np.zeros((F, 32, nch, 3), np.int64)
+        fl = np.zeros((F, 32, nch, 3), np.int64)
+        for ch in range(nch):
+            s = scalar[ch]                         # (F, 3, 32)
+            sc = scfsi[ch]
+            has = ba[:, ch] != 0
+            fv[:, :, ch, 0] = s[:, 0]
+            fv[:, :, ch, 1] = np.where(sc == 0, s[:, 1], s[:, 2])
+            fv[:, :, ch, 2] = s[:, 2]
+            fl[:, :, ch, 0] = np.where(has, 6, 0)
+            fl[:, :, ch, 1] = np.where(has & (sc != 2), 6, 0)
+            fl[:, :, ch, 2] = np.where(has & (sc == 0), 6, 0)
+        per_frame.append((fv.reshape(F, -1), fl.reshape(F, -1)))
+        # --- samples: t(3) x triple(4) x sb x ch, 3 slots each
+        from .tables import layer12 as T
+        alloc = T.ALLOC[table]
+        grp = alloc["group"][np.arange(32)[None, :], ba]      # (F,ch?,32)
+        bits = alloc["bits"][np.arange(32)[None, :], ba]
+        steps = alloc["steps"][np.arange(32)[None, :], ba]
+        c = codes.transpose(1, 2, 3, 4, 0)         # (F, 3, 12, 32, nch)
+        c3 = c.reshape(F, 3, 4, 3, 32, nch)        # triples
+        sval = np.zeros((F, 3, 4, 32, nch, 3), np.int64)
+        slen = np.zeros((F, 3, 4, 32, nch, 3), np.int64)
+        for ch in range(nch):
+            g = grp[:, ch]                         # (F, 32)
+            b = bits[:, ch]
+            y = steps[:, ch]
+            has = ba[:, ch] != 0
+            grouped = (g == 1) & has
+            ungrouped = (g == 3) & has
+            s0 = c3[:, :, :, 0, :, ch]
+            s1 = c3[:, :, :, 1, :, ch]
+            s2 = c3[:, :, :, 2, :, ch]
+            gval = s0 + s1 * y[:, None, None, :] + s2 * (y * y)[:, None, None, :]
+            sval[:, :, :, :, ch, 0] = np.where(grouped[:, None, None, :],
+                                               gval, s0)
+            sval[:, :, :, :, ch, 1] = s1
+            sval[:, :, :, :, ch, 2] = s2
+            ln = b[:, None, None, :]
+            slen[:, :, :, :, ch, 0] = np.where(has, b, 0)[:, None, None, :]
+            slen[:, :, :, :, ch, 1] = np.where(ungrouped, b, 0)[:, None, None, :]
+            slen[:, :, :, :, ch, 2] = np.where(ungrouped, b, 0)[:, None, None, :]
+        if nch == 2:
+            # above jsbound only channel 0's lane is sent
+            slen[:, :, :, :, 1, :] = np.where(
+                js[:, None, None, :, None], 0, slen[:, :, :, :, 1, :])
+        per_frame.append((sval.reshape(F, -1), slen.reshape(F, -1)))
+    else:
+        # --- layer 1 scale factors: 1 slot per (sb, ch)
+        fv = np.zeros((F, 32, nch), np.int64)
+        fl = np.zeros((F, 32, nch), np.int64)
+        for ch in range(nch):
+            fv[:, :, ch] = scalar[ch][:, 0]
+            fl[:, :, ch] = np.where(ba[:, ch] != 0, 6, 0)
+        per_frame.append((fv.reshape(F, -1), fl.reshape(F, -1)))
+        # --- samples: j(12) x sb x ch, ba+1 bits
+        c = codes.transpose(1, 2, 3, 4, 0)[:, 0]   # (F, 12, 32, nch)
+        sval = np.zeros((F, 12, 32, nch), np.int64)
+        slen = np.zeros((F, 12, 32, nch), np.int64)
+        for ch in range(nch):
+            sval[:, :, :, ch] = c[:, :, :, ch]
+            has = ba[:, ch] != 0
+            slen[:, :, :, ch] = np.where(has, ba[:, ch] + 1, 0)[:, None, :]
+        if nch == 2:
+            slen[:, :, :, 1] = np.where(js[:, None, :], 0, slen[:, :, :, 1])
+        per_frame.append((sval.reshape(F, -1), slen.reshape(F, -1)))
+
+    # --- ancillary zero fill, 32-bit chunks
+    max_anc = int(adb_left.max()) if F else 0
+    nslots = (max_anc + 31) // 32
+    if nslots:
+        rem = adb_left[:, None] - 32 * np.arange(nslots)[None, :]
+        al = np.clip(rem, 0, 32)
+        av = np.zeros((F, nslots), np.int64)
+        per_frame.append((av, al))
+
+    values = np.concatenate([v for v, _ in per_frame], axis=1)
+    lengths = np.concatenate([l for _, l in per_frame], axis=1)
+    # mask codes to their field width (quantized codes may carry junk
+    # in lanes with ba == 0; lengths are 0 there, but pack masks by
+    # length anyway)
+    return (values.reshape(-1).astype(np.uint32),
+            lengths.reshape(-1).astype(np.int32))

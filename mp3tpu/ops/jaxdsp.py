@@ -49,7 +49,10 @@ def subband_granules(blocks, prev_tail, dtype=jnp.float32):
     i = jnp.arange(512)[None, :]
     z = flat[512 + 32 * t + 31 - i] * jnp.asarray(T.ENWINDOW, dtype)[None, :]
     y = z.reshape(-1, 8, 64).sum(axis=1)
-    s = y @ jnp.asarray(T.ANA_FILTER.T, dtype)
+    # TPU DEFAULT matmul precision is bf16: not enough for a filterbank
+    # feeding a 16-bit-depth quantizer; force true f32 accumulation
+    with jax.default_matmul_precision("float32"):
+        s = y @ jnp.asarray(T.ANA_FILTER.T, dtype)
     return s.reshape(G, 18, 32)
 
 
@@ -102,16 +105,18 @@ def mdct_granules(sb, sb_prev_last, block_type, dtype=jnp.float32):
     mdct_in = jnp.concatenate([prevf, sbf], axis=1)      # (G, 36, 32)
     x = mdct_in.transpose(0, 2, 1)                        # (G, 32, 36)
 
-    outs = []
-    for b in (0, 1, 3):
-        outs.append(x @ jnp.asarray(_BASIS_LONG[b], dtype))
-    out_short = x @ jnp.asarray(_BASIS_SHORT, dtype)
+    # f32 accumulation (TPU DEFAULT is bf16 -- see subband_granules)
+    with jax.default_matmul_precision("float32"):
+        outs = []
+        for b in (0, 1, 3):
+            outs.append(x @ jnp.asarray(_BASIS_LONG[b], dtype))
+        out_short = x @ jnp.asarray(_BASIS_SHORT, dtype)
 
-    bt = block_type[:, None, None]
-    out = jnp.where(bt == 0, outs[0],
-          jnp.where(bt == 1, outs[1],
-          jnp.where(bt == 3, outs[2], out_short)))        # (G, 32, 18)
-    xr = out.reshape(G, 576)
-    # alias reduction only for non-short
-    xr_alias = xr @ jnp.asarray(_ALIAS.T, dtype)
+        bt = block_type[:, None, None]
+        out = jnp.where(bt == 0, outs[0],
+              jnp.where(bt == 1, outs[1],
+              jnp.where(bt == 3, outs[2], out_short)))    # (G, 32, 18)
+        xr = out.reshape(G, 576)
+        # alias reduction only for non-short
+        xr_alias = xr @ jnp.asarray(_ALIAS.T, dtype)
     return jnp.where((block_type == 2)[:, None], xr, xr_alias)

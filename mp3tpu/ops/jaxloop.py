@@ -281,10 +281,12 @@ def calc_noise(xr_abs, ix, qss, is_short, ST):
     step = jnp.exp2(0.25 * qss)[:, None]
     dq = jnp.power(ix.astype(jnp.float32), 4.0 / 3.0) * step
     err2 = (xr_abs - dq) ** 2
-    xfsf_l = (err2 @ jnp.asarray(ST["oh_l"], err2.dtype)) / jnp.asarray(ST["bw_l"], err2.dtype)
-    e3 = err2.reshape(G, 192, 3)
-    xfsf_s = jnp.einsum("gls,lb->gbs", e3, jnp.asarray(ST["oh_s"], err2.dtype)) \
-        / jnp.asarray(ST["bw_s"], err2.dtype)[None, :, None]
+    # f32 accumulation (TPU DEFAULT matmul precision is bf16)
+    with jax.default_matmul_precision("float32"):
+        xfsf_l = (err2 @ jnp.asarray(ST["oh_l"], err2.dtype)) / jnp.asarray(ST["bw_l"], err2.dtype)
+        e3 = err2.reshape(G, 192, 3)
+        xfsf_s = jnp.einsum("gls,lb->gbs", e3, jnp.asarray(ST["oh_s"], err2.dtype)) \
+            / jnp.asarray(ST["bw_s"], err2.dtype)[None, :, None]
     return xfsf_l, xfsf_s
 
 
@@ -292,12 +294,14 @@ def calc_xmin(xr_abs, ratio_l, ratio_s, ST):
     """Allowed distortion (loop.c:1085-1119)."""
     G = xr_abs.shape[0]
     en2 = xr_abs * xr_abs
-    en_l = (en2 @ jnp.asarray(ST["oh_l"], en2.dtype)) / jnp.asarray(ST["bw_l"], en2.dtype)
-    xmin_l = ratio_l * en_l
-    e3 = en2.reshape(G, 192, 3)
-    en_s = jnp.einsum("gls,lb->gbs", e3, jnp.asarray(ST["oh_s"], en2.dtype)) \
-        / jnp.asarray(ST["bw_s"], en2.dtype)[None, :, None]
-    xmin_s = ratio_s * en_s
+    # f32 accumulation (TPU DEFAULT matmul precision is bf16)
+    with jax.default_matmul_precision("float32"):
+        en_l = (en2 @ jnp.asarray(ST["oh_l"], en2.dtype)) / jnp.asarray(ST["bw_l"], en2.dtype)
+        xmin_l = ratio_l * en_l
+        e3 = en2.reshape(G, 192, 3)
+        en_s = jnp.einsum("gls,lb->gbs", e3, jnp.asarray(ST["oh_s"], en2.dtype)) \
+            / jnp.asarray(ST["bw_s"], en2.dtype)[None, :, None]
+        xmin_s = ratio_s * en_s
     return xmin_l, xmin_s
 
 

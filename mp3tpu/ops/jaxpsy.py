@@ -162,6 +162,13 @@ def psycho_granules(blocks, halo2, sfreq_hz, dtype=jnp.float32):
     blocks = blocks.astype(dtype)
     halo2 = halo2.astype(dtype)
 
+    # TPU DEFAULT matmul precision is bf16; the DFT/partition/spreading
+    # matmuls feed threshold decisions and need true f32 accumulation
+    with jax.default_matmul_precision("float32"):
+        return _psycho_granules_body(blocks, halo2, M, P, dtype)
+
+
+def _psycho_granules_body(blocks, halo2, M, P, dtype):
     frames_l = _frames_long(blocks, halo2) * jnp.asarray(_hann(1024), dtype)
     re, im, energy = _spectrum(frames_l, 1024, dtype)        # (G, 513)
     frames_s = _frames_short(blocks, halo2) * jnp.asarray(_hann(256), dtype)

@@ -46,8 +46,30 @@ def get_lib():
         lib.mp3bits_copy.argtypes = [ctypes.c_void_p,
                                      ctypes.POINTER(ctypes.c_ubyte)]
         lib.mp3bits_free.argtypes = [ctypes.c_void_p]
+        lib.mp3bits_pack.restype = ctypes.c_long
+        lib.mp3bits_pack.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_long, ctypes.POINTER(ctypes.c_ubyte)]
         _LIB = lib
     return _LIB
+
+
+def pack_elements(values, lengths):
+    """Pack a flat (value, nbits) element stream MSB-first -> bytes.
+
+    values: uint32 array; lengths: int32 array (0-length elements are
+    skipped).  Native C++ single pass.
+    """
+    lib = get_lib()
+    values = np.ascontiguousarray(values, np.uint32)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    total_bits = int(lengths.sum())
+    out = np.empty((total_bits + 7) // 8, np.uint8)
+    n = lib.mp3bits_pack(
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(values), out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    return out[:n].tobytes()
 
 
 def _ptr(arr):

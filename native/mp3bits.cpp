@@ -359,4 +359,33 @@ void mp3bits_copy(void* h, unsigned char* out) {
 
 void mp3bits_free(void* h) { delete static_cast<Assembler*>(h); }
 
+// Generic MSB-first (value, nbits) element-stream packer used by the
+// Layer I/II fast path (the whole frame sequence is marshalled as one
+// flat element array).  Returns the number of bytes written; `out`
+// must have room for (sum(lengths) + 7) / 8 bytes.  Trailing partial
+// bits are zero-padded (Layer I/II frames are byte-aligned anyway,
+// and the reference appends a zero flush byte which callers add).
+long mp3bits_pack(const uint32_t* values, const int32_t* lengths,
+                  long n, unsigned char* out) {
+  uint64_t acc = 0;
+  int nbits = 0;
+  long pos = 0;
+  for (long i = 0; i < n; ++i) {
+    int len = lengths[i];
+    if (len == 0) continue;
+    acc = (acc << len) |
+          (values[i] & ((len >= 32) ? 0xFFFFFFFFu : ((1u << len) - 1)));
+    nbits += len;
+    while (nbits >= 8) {
+      nbits -= 8;
+      out[pos++] = static_cast<unsigned char>((acc >> nbits) & 0xFF);
+    }
+    acc &= (1ull << nbits) - 1;
+  }
+  if (nbits > 0) {
+    out[pos++] = static_cast<unsigned char>((acc << (8 - nbits)) & 0xFF);
+  }
+  return pos;
+}
+
 }  // extern "C"
