@@ -85,47 +85,19 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig):
             np.int64).reshape(nch, G)
 
     demand = p23.copy()
+    from .runtime.bitstream import resv_guard, resv_scan
 
-    def scan_budgets(p23_now, last_target):
-        """Exact reservoir policy (reservoir.c:101-134) over the clip.
-        Usage per granule is predicted: actual p23 where the target is
-        unchanged/met, otherwise shifted by the target delta -- the
-        naive feedback of raw p23 makes the budget fixed point
-        oscillate in a 2-cycle (budgets high -> usage high -> budgets
-        low -> ...)."""
-        budgets = np.zeros((nch, G), np.int64)
-        resv = Reservoir()
-        resv.size = 0
-        resv.max = resv_max
-        for f in range(nframes):
-            for gr in range(2):
-                for ch in range(nch):
-                    g = f * 2 + gr
-                    b = resv.max_bits(float(pe[ch, g]), mean_bits, nch)
-                    budgets[ch, g] = min(b, 4095)
-                    if last_target is None:
-                        used = min(int(demand[ch, g]), b)
-                    else:
-                        tgt = min(int(demand[ch, g]), b, 4095)
-                        if (tgt == last_target[ch, g]
-                                or abs(tgt - p23_now[ch, g]) <= 2):
-                            used = int(p23_now[ch, g])
-                        else:
-                            used = int(min(max(p23_now[ch, g] + tgt
-                                               - last_target[ch, g], 0), tgt))
-                    resv.size += mean_bits // nch - used
-            if nch == 2 and (mean_bits & 1):
-                resv.size += 1
-            resv.size = min(resv.size, resv.max)
-            resv.size -= resv.size % 8
-        return budgets
-
-    # ---- scan 1 (demand-predicted usage) + relax iterations
-    budgets = scan_budgets(demand, None)
+    # ---- scan 1 (demand-predicted usage) + relax iterations.  The
+    # reservoir policy (reservoir.c:101-134) runs natively; usage per
+    # granule is predicted -- raw p23 feedback makes the fixed point
+    # oscillate in a 2-cycle (budgets high -> usage high -> low -> ...)
+    budgets = resv_scan(pe, demand, None, None, nframes, nch, mean_bits,
+                        resv_max)
     target = np.minimum(demand, budgets)
     p23 = reencode_all(target)
     for _relax in range(3):
-        budgets = scan_budgets(p23, target)
+        budgets = resv_scan(pe, demand, p23, target, nframes, nch,
+                            mean_bits, resv_max)
         new_target = np.minimum(demand, budgets)
         redo = np.abs(new_target - target) > 2
         if not redo.any():
@@ -135,26 +107,7 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig):
 
     # ---- validation: actual usage must never overdraw the reservoir
     for _guard in range(8):
-        resv = Reservoir()
-        resv.size = 0
-        resv.max = resv_max
-        bad = False
-        limits = np.zeros((nch, G), np.int64)
-        for f in range(nframes):
-            for gr in range(2):
-                for ch in range(nch):
-                    g = f * 2 + gr
-                    limit = min(mean_bits // nch + resv.size, 4095)
-                    limits[ch, g] = limit
-                    if p23[ch, g] > limit:
-                        bad = True
-                        resv.size += mean_bits // nch - limit
-                    else:
-                        resv.size += mean_bits // nch - int(p23[ch, g])
-            if nch == 2 and (mean_bits & 1):
-                resv.size += 1
-            resv.size = min(resv.size, resv.max)
-            resv.size -= resv.size % 8
+        bad, limits = resv_guard(p23, nframes, nch, mean_bits, resv_max)
         if not bad:
             break
         target = np.minimum(target, limits)

@@ -50,8 +50,54 @@ def get_lib():
         lib.mp3bits_pack.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_long, ctypes.POINTER(ctypes.c_ubyte)]
+        lib.mp3resv_scan.restype = None
+        lib.mp3resv_scan.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_int,
+            ctypes.c_long, ctypes.c_long, ctypes.c_int]
+        lib.mp3resv_guard.restype = ctypes.c_int
+        lib.mp3resv_guard.argtypes = [
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.c_long, ctypes.c_int, ctypes.c_long, ctypes.c_long]
         _LIB = lib
     return _LIB
+
+
+def _lptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_long))
+
+
+def resv_scan(pe, demand, p23, last_target, nframes, nch, mean_bits,
+              resv_max):
+    """Native reservoir budget scan.  Arrays are (nch, G) and get
+    transposed to the scan's granule-major (f, gr, ch) order."""
+    lib = get_lib()
+
+    def gm(a, dt=np.int64):           # (nch, G) -> granule-major flat
+        return np.ascontiguousarray(np.asarray(a, dt).T.reshape(-1))
+
+    pe_g = np.ascontiguousarray(np.asarray(pe, np.float64).T.reshape(-1))
+    demand_g = gm(demand)
+    budgets = np.zeros(pe_g.shape[0], np.int64)
+    mode = 0 if last_target is None else 1
+    p23_g = gm(p23 if p23 is not None else demand)
+    lt_g = gm(last_target if last_target is not None else demand)
+    lib.mp3resv_scan(
+        pe_g.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        _lptr(demand_g), _lptr(p23_g), _lptr(lt_g), _lptr(budgets),
+        nframes, nch, mean_bits, resv_max, mode)
+    return budgets.reshape(-1, nch).T.copy()
+
+
+def resv_guard(p23, nframes, nch, mean_bits, resv_max):
+    """Native feasibility-limit scan; returns (bad, limits (nch, G))."""
+    lib = get_lib()
+    p23_g = np.ascontiguousarray(np.asarray(p23, np.int64).T.reshape(-1))
+    limits = np.zeros(p23_g.shape[0], np.int64)
+    bad = lib.mp3resv_guard(_lptr(p23_g), _lptr(limits), nframes, nch,
+                            mean_bits, resv_max)
+    return bool(bad), limits.reshape(-1, nch).T.copy()
 
 
 def pack_elements(values, lengths):

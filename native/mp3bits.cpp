@@ -389,3 +389,90 @@ long mp3bits_pack(const uint32_t* values, const int32_t* lengths,
 }
 
 }  // extern "C"
+
+// Layer III reservoir budget scan (reservoir.c:101-134 policy) over a
+// whole clip: per-granule max_bits from pe, with usage prediction (see
+// mp3tpu/encoder.py scan_budgets).  Layout: granule-major arrays of
+// shape (nframes, 2, nch) flattened.  mode: 0 = first scan (usage =
+// min(demand, b)), 1 = relax scan (usage from p23/last_target).
+extern "C" void mp3resv_scan(const double* pe, const long* demand,
+                             const long* p23, const long* last_target,
+                             long* budgets, long nframes, int nch,
+                             long mean_bits, long resv_max, int mode) {
+  long size = 0;
+  long idx = 0;
+  for (long f = 0; f < nframes; ++f) {
+    for (int gr = 0; gr < 2; ++gr) {
+      for (int ch = 0; ch < nch; ++ch, ++idx) {
+        // ResvMaxBits (reservoir.c:101-134), matching
+        // mp3tpu/numpy_ref/reservoir.py::max_bits exactly
+        long mean = mean_bits / nch;
+        long max_bits = mean < 4095 ? mean : 4095;
+        long b;
+        if (resv_max == 0) {
+          b = max_bits;
+        } else {
+          long more_bits = (long)(pe[idx] * 3.1 - (double)mean);
+          long add_bits = 0;
+          if (more_bits > 100) {
+            long frac = (size * 6) / 10;
+            add_bits = frac < more_bits ? frac : more_bits;
+          }
+          long over_bits = size - (resv_max * 8) / 10 - add_bits;
+          if (over_bits > 0) add_bits += over_bits;
+          b = max_bits + add_bits;
+          if (b > 4095) b = 4095;
+        }
+        budgets[idx] = b;
+        long used;
+        if (mode == 0) {
+          used = demand[idx] < b ? demand[idx] : b;
+        } else {
+          long tgt = demand[idx] < b ? demand[idx] : b;
+          if (tgt > 4095) tgt = 4095;
+          long d = tgt - p23[idx];
+          if (tgt == last_target[idx] || (d >= -2 && d <= 2)) {
+            used = p23[idx];
+          } else {
+            used = p23[idx] + tgt - last_target[idx];
+            if (used < 0) used = 0;
+            if (used > tgt) used = tgt;
+          }
+        }
+        size += mean - used;
+      }
+    }
+    if (nch == 2 && (mean_bits & 1)) size += 1;
+    if (size > resv_max) size = resv_max;
+    size -= size % 8;
+  }
+}
+
+// validation guard scan: per-granule feasibility limits given actual
+// usage (mp3tpu/encoder.py guard loop).  Returns 1 if any violation.
+extern "C" int mp3resv_guard(const long* p23, long* limits, long nframes,
+                             int nch, long mean_bits, long resv_max) {
+  long size = 0;
+  long idx = 0;
+  int bad = 0;
+  for (long f = 0; f < nframes; ++f) {
+    for (int gr = 0; gr < 2; ++gr) {
+      for (int ch = 0; ch < nch; ++ch, ++idx) {
+        long mean = mean_bits / nch;
+        long limit = mean + size;
+        if (limit > 4095) limit = 4095;
+        limits[idx] = limit;
+        if (p23[idx] > limit) {
+          bad = 1;
+          size += mean - limit;
+        } else {
+          size += mean - p23[idx];
+        }
+      }
+    }
+    if (nch == 2 && (mean_bits & 1)) size += 1;
+    if (size > resv_max) size = resv_max;
+    size -= size % 8;
+  }
+  return bad;
+}
