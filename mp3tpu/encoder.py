@@ -18,7 +18,6 @@ import numpy as np
 
 from .config import EncoderConfig
 from .models import layer3
-from .numpy_ref.reservoir import Reservoir
 from .tables import layer12 as T12
 from .tables import mpeg
 
@@ -71,18 +70,31 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig):
     resv_limit = 4088
     resv_max = min(max(0, 7680 - bits_per_frame), resv_limit)
 
-    def reencode_all(target):
-        """Full-batch re-encode at per-granule bit targets: the device
-        rate loop over every granule costs ~8 ms, far below one tunnel
-        round-trip, so partial gather/scatter repair is never worth it.
-        Returns the new p23 (tiny downlink); the full state stays on
-        device until the final packed fetch."""
-        nonlocal state
-        state = layer3.encode_granules(
-            xr, rl, rs, bt, target.reshape(-1).astype(np.float32),
+    def reencode(target, mask):
+        """Re-encode ONLY the granules in ``mask`` at their per-granule
+        bit targets via device-side gather/scatter (layer3.encode_update,
+        indices padded to a power of two to bound recompilation).
+        Granules outside the mask keep their current encode -- in
+        particular, unconstrained granules keep the quality-converged
+        demand encode instead of being redundantly re-run.  Updates the
+        device-resident state and the host p23 copy in place."""
+        nonlocal state, p23
+        idx = np.flatnonzero(mask.reshape(-1))
+        n = idx.size
+        if n == 0:
+            return
+        pad = 1 << (n - 1).bit_length()
+        pad = min(pad, GT) if GT >= n else n
+        if pad < n:
+            pad = n
+        idx_p = np.concatenate([idx, np.full(pad - n, idx[-1], idx.dtype)])
+        bud_p = target.reshape(-1)[idx_p].astype(np.float32)
+        state, p23_sel = layer3.encode_update(
+            state, xr, rl, rs, bt, idx_p, bud_p,
             cfg.version, cfg.sampling_frequency)
-        return np.asarray(state["part2_3_length"]).astype(
-            np.int64).reshape(nch, G)
+        flat = p23.reshape(-1)
+        flat[idx_p] = np.asarray(p23_sel).astype(np.int64)
+        p23 = flat.reshape(nch, G)
 
     demand = p23.copy()
     from .runtime.bitstream import resv_guard, resv_scan
@@ -94,7 +106,7 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig):
     budgets = resv_scan(pe, demand, None, None, nframes, nch, mean_bits,
                         resv_max)
     target = np.minimum(demand, budgets)
-    p23 = reencode_all(target)
+    reencode(target, target < demand)
     for _relax in range(3):
         budgets = resv_scan(pe, demand, p23, target, nframes, nch,
                             mean_bits, resv_max)
@@ -103,15 +115,16 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig):
         if not redo.any():
             break
         target = np.where(redo, new_target, target)
-        p23 = reencode_all(target)
+        reencode(target, redo)
 
     # ---- validation: actual usage must never overdraw the reservoir
     for _guard in range(8):
         bad, limits = resv_guard(p23, nframes, nch, mean_bits, resv_max)
         if not bad:
             break
+        redo = p23 > limits
         target = np.minimum(target, limits)
-        p23 = reencode_all(target)
+        reencode(target, redo)
 
     # ---- one-shot packed marshalling device -> host (single fetch)
     import jax as _jax
@@ -144,61 +157,18 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig):
         sfs_all[ch, :, :36] = host["sf_s"][sl].reshape(G, 36)
         ix_all[ch] = host["ix"][sl]
 
-    # ---- final exact reservoir + stuffing + native assembly
+    # ---- final exact reservoir + stuffing + native assembly: the
+    # whole clip's frame loop (reservoir.c:141-226 + l3bitstream.c)
+    # runs in one C++ call over the channel-major arrays
     from .runtime.bitstream import NativeAssembler
     asm = NativeAssembler(cfg, np.asarray(sfb_s, np.int32))
-    resv = Reservoir()
-    main_data_begin = 0
     scfsi = np.zeros((2, 4), np.int32)
-    for f in range(nframes):
-        resv.frame_begin(cfg.version, bits_per_frame, main_data_begin)
-        g0, g1 = 2 * f, 2 * f + 1
-        for g in (g0, g1):
-            for ch in range(nch):
-                resv.adjust(mean_bits, nch, int(p23[ch, g]))
-        frame_p23 = [[int(p23[ch, g]) for ch in range(nch)] for g in (g0, g1)]
-        if nch == 2 and (mean_bits & 1):
-            resv.size += 1
-        over = max(0, resv.size - resv.max)
-        resv.size -= over
-        stuffing = over
-        align = resv.size % 8
-        if align:
-            stuffing += align
-            resv.size -= align
-        resv_drain = 0
-        if stuffing:
-            if frame_p23[0][0] + stuffing < 4095:
-                frame_p23[0][0] += stuffing
-            else:
-                for gi_ in range(2):
-                    for ch in range(nch):
-                        if stuffing == 0:
-                            break
-                        extra = 4095 - frame_p23[gi_][ch]
-                        take = min(extra, stuffing)
-                        frame_p23[gi_][ch] += take
-                        stuffing -= take
-                resv_drain = stuffing
-
-        fs = np.zeros((2 * nch, 19), np.int32)
-        fl = np.zeros((2 * nch, 22), np.int32)
-        ffs = np.zeros((2 * nch, 39), np.int32)
-        fix = np.zeros((2 * nch, 576), np.int32)
-        for gr in range(2):
-            for ch in range(nch):
-                g = 2 * f + gr
-                row = gr * nch + ch
-                fs[row] = side[ch, g]
-                fs[row, 0] = frame_p23[gr][ch]
-                fl[row] = sfl_all[ch, g]
-                ffs[row] = sfs_all[ch, g]
-                fix[row] = ix_all[ch, g]
-        main_data_begin = asm.add_frame(
-            bits_per_frame, 0, main_data_begin,
-            np.ascontiguousarray(scfsi), np.ascontiguousarray(fs),
-            np.ascontiguousarray(fl), np.ascontiguousarray(ffs),
-            np.ascontiguousarray(fix), resv_drain)
+    asm.encode_clip(nframes, bits_per_frame, mean_bits, resv_max,
+                    np.ascontiguousarray(scfsi),
+                    np.ascontiguousarray(side),
+                    np.ascontiguousarray(sfl_all),
+                    np.ascontiguousarray(sfs_all),
+                    np.ascontiguousarray(ix_all))
     return asm.finish()
 
 

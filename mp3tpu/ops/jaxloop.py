@@ -368,88 +368,90 @@ def _bits_at(xr75, qss, is_short, is_short_block, ST):
     return bits, ix, c
 
 
+def _bits_only(xr75, qss, is_short, is_short_block, ST):
+    """Bit count at a candidate stepsize, nothing else.  The search
+    loops below carry ONLY (G,) vectors: when ix and the count dict are
+    threaded through lax.while_loop carries, every iteration rewrites
+    ~80 MB of HBM for the jnp.where merges (measured 1 ms/iter at
+    G=8192); with scalar-per-lane carries XLA fuses the whole
+    quantize+histogram pipeline into one pass over xr75 (~25 us)."""
+    bits, _, _ = _bits_at(xr75, qss, is_short, is_short_block, ST)
+    return bits
+
+
 def search_walk(xr75, budget, start_qss, is_short, is_short_block, ST,
                 max_steps=40):
     """Monotone up-walk from a warm start: after scalefactor
     amplification the feasible stepsize only increases (the reference
-    resumes its inner loop the same way, loop.c:580)."""
+    resumes its inner loop the same way, loop.c:580).  Bits-only
+    carries; counts are materialized once at the accepted stepsize."""
     qss = start_qss
-    bits, ix, c = _bits_at(xr75, qss, is_short, is_short_block, ST)
+    bits = _bits_only(xr75, qss, is_short, is_short_block, ST)
 
     def body(carry):
-        qss, bits, ix, c, it = carry
-        qss2 = qss + 1.0
-        b2, ix2, c2 = _bits_at(xr75, qss2, is_short, is_short_block, ST)
+        qss, bits, it = carry
         bad = bits > budget
-        qss = jnp.where(bad, qss2, qss)
-        new = {k: jnp.where(_bshape(bad, c[k]), c2[k], c[k]) for k in c}
-        ix = jnp.where(bad[:, None], ix2, ix)
-        bits = jnp.where(bad, b2, bits)
-        return qss, bits, ix, new, it + 1
+        qss2 = jnp.where(bad, qss + 1.0, qss)
+        b2 = _bits_only(xr75, qss2, is_short, is_short_block, ST)
+        return qss2, jnp.where(bad, b2, bits), it + 1
 
     def cond(carry):
-        _, bits, _, _, it = carry
+        _, bits, it = carry
         return jnp.any(bits > budget) & (it < max_steps)
 
-    qss, bits, ix, c, _ = jax.lax.while_loop(
-        cond, body, (qss, bits, ix, c, 0))
+    qss, bits, _ = jax.lax.while_loop(cond, body, (qss, bits, 0))
+    bits, ix, c = _bits_at(xr75, qss, is_short, is_short_block, ST)
     return qss, bits, ix, c
 
 
 def search_stepsize(xr75, budget, qanf, is_short, is_short_block, ST,
                     n_bisect=9):
     """Find an integer stepsize with bits <= budget via bisection on
-    [qanf, QMAX] plus a monotone fix-up; returns (qss, ix, counts)."""
+    [qanf, QMAX] plus a monotone fix-up; returns (qss, ix, counts).
+    All loops carry (G,) vectors only (see _bits_only)."""
     lo = jnp.maximum(qanf, QMIN)          # may violate budget
     hi = jnp.full_like(lo, QMAX)          # always fits (all-zero ix)
 
     def body(_, carry):
         lo, hi = carry
         mid = jnp.floor((lo + hi) * 0.5)
-        bits, _, _ = _bits_at(xr75, mid, is_short, is_short_block, ST)
+        bits = _bits_only(xr75, mid, is_short, is_short_block, ST)
         ok = bits <= budget
         return jnp.where(ok, lo, mid), jnp.where(ok, mid, hi)
 
     lo, hi = jax.lax.fori_loop(0, n_bisect, body, (lo, hi))
     qss = hi
-    bits, ix, c = _bits_at(xr75, qss, is_short, is_short_block, ST)
+    bits = _bits_only(xr75, qss, is_short, is_short_block, ST)
+
     # safety walk upward for any residual non-monotonicity
     def fix_body(carry):
-        qss, bits, ix, c, it = carry
-        qss2 = qss + 1.0
-        b2, ix2, c2 = _bits_at(xr75, qss2, is_short, is_short_block, ST)
+        qss, bits, it = carry
         bad = bits > budget
-        qss = jnp.where(bad, qss2, qss)
-        new = {k: jnp.where(_bshape(bad, c[k]), c2[k], c[k]) for k in c}
-        ix = jnp.where(bad[:, None], ix2, ix)
-        bits = jnp.where(bad, b2, bits)
-        return qss, bits, ix, new, it + 1
+        qss2 = jnp.where(bad, qss + 1.0, qss)
+        b2 = _bits_only(xr75, qss2, is_short, is_short_block, ST)
+        return qss2, jnp.where(bad, b2, bits), it + 1
 
     def fix_cond(carry):
-        _, bits, _, _, it = carry
+        _, bits, it = carry
         return jnp.any(bits > budget) & (it < 40)
 
-    qss, bits, ix, c, _ = jax.lax.while_loop(
-        fix_cond, fix_body, (qss, bits, ix, c, 0))
+    qss, bits, _ = jax.lax.while_loop(fix_cond, fix_body, (qss, bits, 0))
 
     # downward refinement: bisection can overshoot on non-monotone
     # regions; take finer steps while they still fit the budget
     def down_body(carry):
-        qss, bits, ix, c, it = carry
+        qss, bits, it = carry
         qss2 = qss - 1.0
-        b2, ix2, c2 = _bits_at(xr75, qss2, is_short, is_short_block, ST)
+        b2 = _bits_only(xr75, qss2, is_short, is_short_block, ST)
         good = (b2 <= budget) & (qss2 >= jnp.maximum(qanf, QMIN))
-        qss = jnp.where(good, qss2, qss)
-        new = {k: jnp.where(_bshape(good, c[k]), c2[k], c[k]) for k in c}
-        ix = jnp.where(good[:, None], ix2, ix)
-        bits = jnp.where(good, b2, bits)
-        return qss, bits, ix, new, it + 1
+        return (jnp.where(good, qss2, qss), jnp.where(good, b2, bits),
+                it + 1)
 
     def down_cond(carry):
-        return carry[4] < 3
+        return carry[2] < 3
 
-    qss, bits, ix, c, _ = jax.lax.while_loop(
-        down_cond, down_body, (qss, bits, ix, c, 0))
+    qss, bits, _ = jax.lax.while_loop(down_cond, down_body, (qss, bits, 0))
+    bits, ix, c = _bits_at(xr75, qss, is_short, is_short_block, ST)
     return qss, bits, ix, c
 
 

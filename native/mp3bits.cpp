@@ -212,39 +212,14 @@ long emit_granule_main(std::vector<Element>& el, const GranuleSide& g,
   return 0;
 }
 
-}  // namespace
-
-extern "C" {
-
-void* mp3bits_create(int version, int layer, int bitrate_index,
-                     int sampling_frequency, int mode, int mode_ext,
-                     int emphasis, int copyright, int original,
-                     int error_protection, int private_bits,
-                     const int* sfb_short_table) {
-  auto* a = new Assembler();
-  a->version = version;
-  a->layer = layer;
-  a->bitrate_index = bitrate_index;
-  a->sampling_frequency = sampling_frequency;
-  a->mode = mode;
-  a->mode_ext = mode_ext;
-  a->emphasis = emphasis;
-  a->copyright = copyright;
-  a->original = original;
-  a->error_protection = error_protection;
-  a->private_bits = private_bits;
-  a->nch = (mode == 3) ? 1 : 2;
-  memcpy(a->sfb_s, sfb_short_table, 14 * sizeof(int));
-  return a;
-}
-
-// side: ngr*nch records of 19 ints (order gr-major):
-//   p23 bv gg compress wsf bt mixed ts0 ts1 ts2 r0 r1 preflag ss c1ts
-//   part2 a1 a2 count1
-int mp3bits_frame(void* h, int bits_per_frame, int padding, int main_data_begin,
-                  const int* scfsi, const int* side, const int* sfl,
-                  const int* sfs, const int* ix, int resv_drain) {
-  auto* a = static_cast<Assembler*>(h);
+// One frame of side-info + main-data emission.  Row pointers are
+// granule-major (gr*nch + ch); side rows are 19 ints (see
+// mp3bits_frame's comment).  Returns nextBackPtr.
+int add_frame(Assembler* a, int bits_per_frame, int padding,
+              int main_data_begin, const int* scfsi,
+              const int* const* side_rows, const int* const* sfl_rows,
+              const int* const* sfs_rows, const int* const* ix_rows,
+              int resv_drain) {
   int nch = a->nch;
   SideRecord rec;
   rec.frame_len = bits_per_frame;
@@ -269,7 +244,7 @@ int mp3bits_frame(void* h, int bits_per_frame, int padding, int main_data_begin,
   for (int ch = 0; ch < nch; ch++)
     for (int b = 0; b < 4; b++) si.push_back({(uint32_t)scfsi[ch * 4 + b], 1});
   for (int g = 0; g < 2 * nch; g++) {
-    const int* s = side + 19 * g;
+    const int* s = side_rows[g];
     GranuleSide gs{s[0], s[1], s[2], s[3], s[4], s[5], s[6],
                    {s[7], s[8], s[9]}, s[10], s[11], s[12], s[13], s[14],
                    s[15], s[16], s[17], s[18]};
@@ -306,12 +281,12 @@ int mp3bits_frame(void* h, int bits_per_frame, int padding, int main_data_begin,
   std::vector<Element> main;
   main.reserve(2048);
   for (int g = 0; g < 2 * nch; g++) {
-    const int* s = side + 19 * g;
+    const int* s = side_rows[g];
     GranuleSide gs{s[0], s[1], s[2], s[3], s[4], s[5], s[6],
                    {s[7], s[8], s[9]}, s[10], s[11], s[12], s[13], s[14],
                    s[15], s[16], s[17], s[18]};
     int gr = g / nch, ch = g % nch;
-    emit_granule_main(main, gs, sfl + 22 * g, sfs + 39 * g, ix + 576 * g,
+    emit_granule_main(main, gs, sfl_rows[g], sfs_rows[g], ix_rows[g],
                       a->sfb_s, gr, scfsi + 4 * ch);
   }
   long drain = resv_drain;
@@ -330,6 +305,129 @@ int mp3bits_frame(void* h, int bits_per_frame, int padding, int main_data_begin,
     fwd_si += r.si_bits;
   }
   return static_cast<int>(a->bits_remaining / 8 + fwd_frame / 8 - fwd_si / 8);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* mp3bits_create(int version, int layer, int bitrate_index,
+                     int sampling_frequency, int mode, int mode_ext,
+                     int emphasis, int copyright, int original,
+                     int error_protection, int private_bits,
+                     const int* sfb_short_table) {
+  auto* a = new Assembler();
+  a->version = version;
+  a->layer = layer;
+  a->bitrate_index = bitrate_index;
+  a->sampling_frequency = sampling_frequency;
+  a->mode = mode;
+  a->mode_ext = mode_ext;
+  a->emphasis = emphasis;
+  a->copyright = copyright;
+  a->original = original;
+  a->error_protection = error_protection;
+  a->private_bits = private_bits;
+  a->nch = (mode == 3) ? 1 : 2;
+  memcpy(a->sfb_s, sfb_short_table, 14 * sizeof(int));
+  return a;
+}
+
+// side: ngr*nch records of 19 ints (order gr-major):
+//   p23 bv gg compress wsf bt mixed ts0 ts1 ts2 r0 r1 preflag ss c1ts
+//   part2 a1 a2 count1
+int mp3bits_frame(void* h, int bits_per_frame, int padding, int main_data_begin,
+                  const int* scfsi, const int* side, const int* sfl,
+                  const int* sfs, const int* ix, int resv_drain) {
+  auto* a = static_cast<Assembler*>(h);
+  const int* side_rows[4];
+  const int* sfl_rows[4];
+  const int* sfs_rows[4];
+  const int* ix_rows[4];
+  for (int g = 0; g < 2 * a->nch; g++) {
+    side_rows[g] = side + 19 * g;
+    sfl_rows[g] = sfl + 22 * g;
+    sfs_rows[g] = sfs + 39 * g;
+    ix_rows[g] = ix + 576 * g;
+  }
+  return add_frame(a, bits_per_frame, padding, main_data_begin, scfsi,
+                   side_rows, sfl_rows, sfs_rows, ix_rows, resv_drain);
+}
+
+// Whole-clip assembly: exact reservoir frame-end accounting
+// (reservoir.c:155-226 stuffing plan) + frame emission for all frames
+// in one call.  Arrays are CHANNEL-major as the encoder marshals them:
+// side (nch, G, 19), sfl (nch, G, 22), sfs (nch, G, 39), ix
+// (nch, G, 576) with G = 2*nframes; scfsi is (nch, 4) applied to every
+// frame (the fast path sends zeros).  side[...][0] holds each
+// granule's part2_3_length BEFORE stuffing; this scan mirrors
+// Reservoir.adjust/frame_end in mp3tpu/numpy_ref/reservoir.py.
+void mp3bits_encode_clip(void* h, long nframes, int bits_per_frame,
+                         long mean_bits, long resv_max, const int* scfsi,
+                         const int* side, const int* sfl, const int* sfs,
+                         const int* ix) {
+  auto* a = static_cast<Assembler*>(h);
+  int nch = a->nch;
+  long G = 2 * nframes;
+  long size = 0;
+  int main_data_begin = 0;
+  std::vector<int> patched(19 * 2 * nch);
+  for (long f = 0; f < nframes; ++f) {
+    // ResvAdjust per granule (reservoir.c:141-146)
+    int frame_p23[2][2];
+    for (int gr = 0; gr < 2; ++gr)
+      for (int ch = 0; ch < nch; ++ch) {
+        long g = 2 * f + gr;
+        int p23 = side[(ch * G + g) * 19];
+        frame_p23[gr][ch] = p23;
+        size += mean_bits / nch - p23;
+      }
+    // ResvFrameEnd stuffing plan (reservoir.c:155-226)
+    if (nch == 2 && (mean_bits & 1)) size += 1;
+    long over = size - resv_max;
+    if (over < 0) over = 0;
+    size -= over;
+    long stuffing = over;
+    long align = size % 8;
+    if (align) {
+      stuffing += align;
+      size -= align;
+    }
+    int resv_drain = 0;
+    if (stuffing) {
+      if (frame_p23[0][0] + stuffing < 4095) {
+        frame_p23[0][0] += static_cast<int>(stuffing);
+      } else {
+        for (int gr = 0; gr < 2 && stuffing; ++gr)
+          for (int ch = 0; ch < nch && stuffing; ++ch) {
+            long extra = 4095 - frame_p23[gr][ch];
+            long take = extra < stuffing ? extra : stuffing;
+            frame_p23[gr][ch] += static_cast<int>(take);
+            stuffing -= take;
+          }
+        resv_drain = static_cast<int>(stuffing);
+      }
+    }
+    const int* side_rows[4];
+    const int* sfl_rows[4];
+    const int* sfs_rows[4];
+    const int* ix_rows[4];
+    for (int gr = 0; gr < 2; ++gr)
+      for (int ch = 0; ch < nch; ++ch) {
+        long g = 2 * f + gr;
+        int row = gr * nch + ch;
+        memcpy(patched.data() + 19 * row, side + (ch * G + g) * 19,
+               19 * sizeof(int));
+        patched[19 * row] = frame_p23[gr][ch];
+        side_rows[row] = patched.data() + 19 * row;
+        sfl_rows[row] = sfl + (ch * G + g) * 22;
+        sfs_rows[row] = sfs + (ch * G + g) * 39;
+        ix_rows[row] = ix + (ch * G + g) * 576;
+      }
+    main_data_begin = add_frame(a, bits_per_frame, 0, main_data_begin,
+                                scfsi, side_rows, sfl_rows, sfs_rows,
+                                ix_rows, resv_drain);
+  }
 }
 
 long mp3bits_finish(void* h) {
