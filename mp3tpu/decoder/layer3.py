@@ -200,7 +200,36 @@ def _decode_spectrum(br, gi, sfb_l, sfb_s, part2_start):
             ix[i + k] = v
         i += 4
     br.pos = limit
+    if gi["window_switching_flag"] and gi["block_type"] == 2:
+        # short blocks arrive in (sfb, window, line) stream order
+        # (l3bitstream.c:542-568 emits ix[3*line+w] per sfb/window);
+        # reorder back to the natural interleaved (line, window) layout
+        ix = _reorder_short(ix, sfb_s)
     return ix
+
+
+def _short_perm(sfb_s):
+    """Stream position j -> natural index 3*line + window."""
+    perm = []
+    for sfb in range(13):
+        for w in range(3):
+            for line in range(int(sfb_s[sfb]), int(sfb_s[sfb + 1])):
+                perm.append(3 * line + w)
+    return np.asarray(perm, np.int64)
+
+
+def _reorder_short(ix_stream, sfb_s):
+    key = tuple(int(x) for x in sfb_s)
+    perm = _PERM_CACHE.get(key)
+    if perm is None:
+        perm = _short_perm(sfb_s)
+        _PERM_CACHE[key] = perm
+    ix = np.zeros_like(ix_stream)
+    ix[perm] = ix_stream
+    return ix
+
+
+_PERM_CACHE = {}
 
 
 _PRETAB = mpeg.PRETAB
@@ -212,9 +241,11 @@ def _requantize(ix, gi, sf_l, sf_s, sfb_l, sfb_s):
     sfs = gi["scalefac_scale"]
     step_mult = 0.5 * (1 + sfs)
     if gi["window_switching_flag"] and gi["block_type"] == 2:
+        # 13 bands: the last one (sfb 12) has no transmitted scalefactor
+        # and requantizes with sf=0 (sf_s is zero there)
         ixs = ix.reshape(192, 3)
         xrs = np.zeros((192, 3))
-        for sfb in range(12):
+        for sfb in range(13):
             s, e = int(sfb_s[sfb]), int(sfb_s[sfb + 1])
             for w in range(3):
                 gain = 2.0 ** (0.25 * (gg - 210 - 8 * gi["subblock_gain"][w])) \
@@ -223,10 +254,12 @@ def _requantize(ix, gi, sf_l, sf_s, sfb_l, sfb_s):
                 xrs[s:e, w] = np.sign(seg) * (np.abs(seg) ** (4.0 / 3.0)) * gain
         xr = xrs.reshape(576)
     else:
-        for sfb in range(21):
+        # 22 bands: sfb 21 has no scalefactor (sf_l zero) and no pretab
+        for sfb in range(22):
             s, e = int(sfb_l[sfb]), int(sfb_l[sfb + 1])
+            pre = int(_PRETAB[sfb]) if sfb < len(_PRETAB) else 0
             gain = 2.0 ** (0.25 * (gg - 210)) * 2.0 ** (
-                -step_mult * (sf_l[sfb] + gi["preflag"] * _PRETAB[sfb]))
+                -step_mult * (sf_l[sfb] + gi["preflag"] * pre))
             seg = ix[s:e]
             xr[s:e] = np.sign(seg) * (np.abs(seg) ** (4.0 / 3.0)) * gain
     return xr

@@ -1,13 +1,16 @@
 """High-level TPU encoder: fast mode (production path).
 
 Pipeline per clip:
-  1. device: analyze_granules per channel (psy + filterbank + MDCT);
-  2. device: unconstrained encode (budget 4095) -> per-granule demand;
-  3. host:   exact reservoir scans (reservoir.c policy) over scalars;
-     granules whose demand exceeds their budget are re-encoded on
-     device at the precise budget via device-side gather/scatter --
-     only small vectors (pe, part2_3_length, indices, budgets) cross
-     the host link until the final one-shot marshalling;
+  1. device: analyze + unconstrained demand encode (ONE dispatch;
+     psy + filterbank + MDCT + rate loop at budget 4095), downloading
+     only the (pe, demand) scalars;
+  2. host:   exact reservoir scans (reservoir.c:101-134 policy) run
+     natively over the scalars; budget-limited granules are probed on
+     device (gather-only, returns just part2_3_length) until the
+     budget/usage fixed point settles;
+  3. device: ONE dense full-batch encode at the final budgets with the
+     tunnel-packed state fused into the dispatch (no XLA scatters --
+     a 9k-row scatter runs on the TPU scalar core at ~700 ms);
   4. host:   stuffing planning + native C++ bitstream assembly.
 
 The exact byte-replica of the reference lives in mp3tpu.numpy_ref and
@@ -18,20 +21,16 @@ import numpy as np
 
 from .config import EncoderConfig
 from .models import layer3
+from .runtime import profiling
 from .tables import layer12 as T12
 from .tables import mpeg
 
-# device-resident per-granule outputs scattered by encode_update
-_STATE_KEYS = ("ix", "sf_l", "sf_s", "part2", "compress", "preflag",
-               "count1", "big_values", "r0", "r1", "a1", "a2",
-               "table_select", "count1table_select", "global_gain",
-               "part2_3_length")
 
-
-def encode_layer3_fast(pcm, cfg: EncoderConfig):
+def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None):
     """Encode int16 PCM to MP3 bytes via the TPU path."""
     import jax.numpy as jnp
 
+    prof = prof if prof is not None else profiling.from_env()
     cfg.finalize()
     assert cfg.layer == 3 and cfg.version == mpeg.MPEG1
     pcm = np.atleast_2d(np.asarray(pcm, np.float32))
@@ -54,14 +53,15 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig):
     import jax
 
     pcm_i16 = pcm.astype(np.int16).reshape(nch, G, 576)
-    ana, enc = layer3.analyze_demand(pcm_i16, cfg.version,
-                                     cfg.sampling_frequency, sfreq_hz)
-    xr, rl, rs, bt = ana["xr"], ana["ratio_l"], ana["ratio_s"], ana["block_type"]
-    small = jax.device_get({"pe": ana["pe"],
-                            "p23": enc["part2_3_length"]})
+    with prof.stage("analyze+demand (device)"):
+        ana, p23_dev = layer3.analyze_demand(pcm_i16, cfg.version,
+                                             cfg.sampling_frequency,
+                                             sfreq_hz)
+        xr, rl, rs, bt = (ana["xr"], ana["ratio_l"], ana["ratio_s"],
+                          ana["block_type"])
+        small = jax.device_get({"pe": ana["pe"], "p23": p23_dev})
     pe = small["pe"].reshape(nch, G)
     p23 = small["p23"].astype(np.int64).reshape(nch, G)
-    state = enc
 
     whole_spf, _ = cfg.slots_per_frame()
     bits_per_frame = 8 * whole_spf
@@ -70,67 +70,59 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig):
     resv_limit = 4088
     resv_max = min(max(0, 7680 - bits_per_frame), resv_limit)
 
-    def reencode(target, mask):
-        """Re-encode ONLY the granules in ``mask`` at their per-granule
-        bit targets via device-side gather/scatter (layer3.encode_update,
-        indices padded to a power of two to bound recompilation).
-        Granules outside the mask keep their current encode -- in
-        particular, unconstrained granules keep the quality-converged
-        demand encode instead of being redundantly re-run.  Updates the
-        device-resident state and the host p23 copy in place."""
-        nonlocal state, p23
-        idx = np.flatnonzero(mask.reshape(-1))
-        n = idx.size
-        if n == 0:
-            return
-        pad = 1 << (n - 1).bit_length()
-        pad = min(pad, GT) if GT >= n else n
-        if pad < n:
-            pad = n
-        idx_p = np.concatenate([idx, np.full(pad - n, idx[-1], idx.dtype)])
-        bud_p = target.reshape(-1)[idx_p].astype(np.float32)
-        state, p23_sel = layer3.encode_update(
-            state, xr, rl, rs, bt, idx_p, bud_p,
-            cfg.version, cfg.sampling_frequency)
-        flat = p23.reshape(-1)
-        flat[idx_p] = np.asarray(p23_sel).astype(np.int64)
-        p23 = flat.reshape(nch, G)
-
     demand = p23.copy()
     from .runtime.bitstream import resv_guard, resv_scan
 
-    # ---- scan 1 (demand-predicted usage) + relax iterations.  The
-    # reservoir policy (reservoir.c:101-134) runs natively; usage per
-    # granule is predicted -- raw p23 feedback makes the fixed point
-    # oscillate in a 2-cycle (budgets high -> usage high -> low -> ...)
-    budgets = resv_scan(pe, demand, None, None, nframes, nch, mean_bits,
-                        resv_max)
-    target = np.minimum(demand, budgets)
-    reencode(target, target < demand)
-    for _relax in range(3):
-        budgets = resv_scan(pe, demand, p23, target, nframes, nch,
-                            mean_bits, resv_max)
-        new_target = np.minimum(demand, budgets)
-        redo = np.abs(new_target - target) > 2
-        if not redo.any():
-            break
-        target = np.where(redo, new_target, target)
-        reencode(target, redo)
+    # ---- predictive reservoir scan (reservoir.c:101-134 policy, run
+    # natively).  Predicted usage per granule is min(demand, budget) --
+    # an upper bound on the actual usage of an encode at that budget.
+    # Because the scan's reservoir dynamics (per-frame resv_max clamp +
+    # byte alignment) are identical to the guard's, and budgets are
+    # bounded by mean + size, the targets it assigns are FEASIBLE for
+    # any actual usage <= target: the real reservoir only ever runs
+    # higher than predicted.  This reproduces the reference's policy
+    # (budget from pe + reservoir level) without its sequential chain;
+    # prediction slack merely leaves a few reservoir bits to the
+    # stuffing drain, exactly like the reference's own leftovers.
+    target = np.minimum(
+        demand, resv_scan(pe, demand, None, None, nframes, nch,
+                          mean_bits, resv_max))
 
-    # ---- validation: actual usage must never overdraw the reservoir
-    for _guard in range(8):
+    # ---- ONE dense encode at the final budgets; unconstrained
+    # granules rerun at 4095 and deterministically reproduce their
+    # demand encode.  pack_state is fused into the dispatch; a single
+    # device_get drains the packed state through the tunnel.
+    final_budget = np.where(target < demand, target, 4095).reshape(-1)
+    with prof.stage("final encode+pack (device)"):
+        host = jax.device_get(layer3.encode_final(
+            xr, rl, rs, bt, jnp.asarray(final_budget, jnp.float32),
+            cfg.version, cfg.sampling_frequency))
+
+    # the dense re-encode is the authority on p23 (float batch-shape
+    # jitter vs the probes can move a lane by a few bits): re-check
+    # feasibility on the actual values, clamping in the rare miss
+    p23 = np.asarray(host["part2_3_length"]).astype(np.int64) \
+        .reshape(nch, G)
+    for _retry in range(3):
         bad, limits = resv_guard(p23, nframes, nch, mean_bits, resv_max)
         if not bad:
             break
-        redo = p23 > limits
-        target = np.minimum(target, limits)
-        reencode(target, redo)
+        if _retry == 2:
+            raise RuntimeError(
+                "reservoir guard failed to converge after dense retries")
+        target = np.minimum(target, limits - 8)
+        final_budget = np.where(target < demand, target, 4095).reshape(-1)
+        with prof.stage("final encode+pack retry (device)"):
+            host = jax.device_get(layer3.encode_final(
+                xr, rl, rs, bt, jnp.asarray(final_budget, jnp.float32),
+                cfg.version, cfg.sampling_frequency))
+        p23 = np.asarray(host["part2_3_length"]).astype(np.int64) \
+            .reshape(nch, G)
 
-    # ---- one-shot packed marshalling device -> host (single fetch)
-    import jax as _jax
-    host = _jax.device_get(layer3.pack_state(state, bt))
-    host = {k: v.astype(np.int32) for k, v in host.items()}
+    host = {k: np.asarray(v).astype(np.int32) for k, v in host.items()}
     bts_all = host["block_type"]
+    prof_marshal = prof.stage("host marshal")
+    prof_marshal.__enter__()
     side = np.zeros((nch, G, 19), np.int32)
     sfl_all = np.zeros((nch, G, 22), np.int32)
     sfs_all = np.zeros((nch, G, 39), np.int32)
@@ -156,20 +148,23 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig):
         sfl_all[ch, :, :21] = host["sf_l"][sl]
         sfs_all[ch, :, :36] = host["sf_s"][sl].reshape(G, 36)
         ix_all[ch] = host["ix"][sl]
+    prof_marshal.__exit__(None, None, None)
 
     # ---- final exact reservoir + stuffing + native assembly: the
     # whole clip's frame loop (reservoir.c:141-226 + l3bitstream.c)
     # runs in one C++ call over the channel-major arrays
     from .runtime.bitstream import NativeAssembler
-    asm = NativeAssembler(cfg, np.asarray(sfb_s, np.int32))
-    scfsi = np.zeros((2, 4), np.int32)
-    asm.encode_clip(nframes, bits_per_frame, mean_bits, resv_max,
-                    np.ascontiguousarray(scfsi),
-                    np.ascontiguousarray(side),
-                    np.ascontiguousarray(sfl_all),
-                    np.ascontiguousarray(sfs_all),
-                    np.ascontiguousarray(ix_all))
-    return asm.finish()
+    with prof.stage("native assembly"):
+        asm = NativeAssembler(cfg, np.asarray(sfb_s, np.int32))
+        scfsi = np.zeros((2, 4), np.int32)
+        asm.encode_clip(nframes, bits_per_frame, mean_bits, resv_max,
+                        np.ascontiguousarray(scfsi),
+                        np.ascontiguousarray(side),
+                        np.ascontiguousarray(sfl_all),
+                        np.ascontiguousarray(sfs_all),
+                        np.ascontiguousarray(ix_all))
+        out = asm.finish()
+    return out
 
 
 def encode_layer12_fast(pcm, cfg: EncoderConfig):

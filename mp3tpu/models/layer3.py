@@ -75,7 +75,11 @@ def analyze_demand(pcm_i16, version, sampling_frequency, sfreq_hz):
     few calls as possible).
 
     pcm_i16: (nch, G, 576) int16.  Returns (analysis dict with device
-    arrays, demand-encode state dict).
+    arrays, (pe, part2_3_length) of the unconstrained demand encode).
+    Only the small scalars of the demand pass are materialized -- the
+    final coding state is produced once by encode_final at the
+    reservoir-assigned budgets, so XLA dead-code-eliminates the demand
+    pass's ix/scalefactor outputs here.
     """
     nch = pcm_i16.shape[0]
     blocks = pcm_i16.astype(jnp.float32)
@@ -89,7 +93,20 @@ def analyze_demand(pcm_i16, version, sampling_frequency, sfreq_hz):
     state = _encode_body(ana["xr"], ana["ratio_l"], ana["ratio_s"],
                          ana["block_type"], budget, version,
                          sampling_frequency)
-    return ana, state
+    return ana, state["part2_3_length"]
+
+
+@partial(jax.jit, static_argnames=("version", "sampling_frequency"))
+def encode_final(xr, ratio_l, ratio_s, block_type, budget, version,
+                 sampling_frequency):
+    """One dense full-batch encode at the final budgets, returning the
+    tunnel-packed coding state (pack_state fused into the dispatch)."""
+    ST = jaxloop._static(version, sampling_frequency)
+    is_short_block = block_type != mpeg.NORM_TYPE
+    out = jaxloop.outer_loop(xr, budget, ratio_l, ratio_s,
+                             is_short_block, block_type, ST)
+    out["ix"] = jnp.where((xr < 0) & (out["ix"] > 0), -out["ix"], out["ix"])
+    return pack_state(out, block_type)
 
 
 def _analyze_body(blocks, halo_samples, version, sampling_frequency,
@@ -140,18 +157,3 @@ def pack_state(state, block_type):
     )
 
 
-@partial(jax.jit, static_argnames=("version", "sampling_frequency"),
-         donate_argnames=("state",))
-def encode_update(state, xr, ratio_l, ratio_s, block_type, idx, budget,
-                  version, sampling_frequency):
-    """Re-encode the granules at ``idx`` (device-side gather) and
-    scatter the results into the device-resident state dict.  Keeps all
-    large arrays on device; only scalars cross the host link."""
-    ST = jaxloop._static(version, sampling_frequency)
-    xr_g = xr[idx]
-    bt_g = block_type[idx]
-    out = jaxloop.outer_loop(xr_g, budget, ratio_l[idx], ratio_s[idx],
-                             bt_g != mpeg.NORM_TYPE, bt_g, ST)
-    out["ix"] = jnp.where((xr_g < 0) & (out["ix"] > 0), -out["ix"], out["ix"])
-    new_state = {k: state[k].at[idx].set(out[k]) for k in state}
-    return new_state, out["part2_3_length"]

@@ -188,8 +188,13 @@ def _region_table_bits(ix, a1, a2, bvr, perm, is_short, r0_pairs_short):
                * valid[:, :, None].astype(jnp.int8))
     hist = jnp.einsum("gpc,gpr->grc", onehot, regmask,
                       preferred_element_type=jnp.int32)  # (G, 3, 256)
+    # HIGHEST precision: the TPU's DEFAULT f32 matmul multiplies in
+    # bf16, which rounds products like 13*27 and yields off-by-one BIT
+    # COUNTS -- an undercounted part2_3_length overruns the granule in
+    # every decoder.  Exact f32 keeps all products (<2^15) integral.
     bits_tab = jnp.einsum("grc,tc->grt", hist.astype(jnp.float32),
                           jnp.asarray(_PAIR_BITS),
+                          precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
     # extra linbits for values beyond the LUT clip: LUT charges linbits
     # once per clipped-15 component; true emission also uses linbits
@@ -248,8 +253,11 @@ def _count1_bits(ix, big_values, count1):
     onehot = jax.nn.one_hot(p, 16, dtype=jnp.int8) * inr[:, :, None].astype(jnp.int8)
     hist = onehot.sum(axis=1, dtype=jnp.int32).astype(jnp.float32)  # (G, 16)
     signbits = jnp.sum(jnp.minimum(ixs.reshape(G, 144, 4), 1) * inr[:, :, None], axis=(1, 2))
-    b0 = hist @ jnp.asarray(_C1_HLEN[0]) + signbits
-    b1 = hist @ jnp.asarray(_C1_HLEN[1]) + signbits
+    # HIGHEST precision: exact integer-valued f32 products (see
+    # _region_table_bits -- default bf16 matmul corrupts bit counts)
+    with jax.default_matmul_precision("highest"):
+        b0 = hist @ jnp.asarray(_C1_HLEN[0]) + signbits
+        b1 = hist @ jnp.asarray(_C1_HLEN[1]) + signbits
     sel = jnp.where(b0 < b1, 0, 1).astype(jnp.int32)
     return jnp.where(sel == 0, b0, b1), sel
 

@@ -382,7 +382,16 @@ void mp3bits_encode_clip(void* h, long nframes, int bits_per_frame,
         frame_p23[gr][ch] = p23;
         size += mean_bits / nch - p23;
       }
-    // ResvFrameEnd stuffing plan (reservoir.c:155-226)
+    // ResvFrameEnd stuffing plan (reservoir.c:155-226).  DELIBERATE
+    // deviation from the reference: ALL stuffing goes to the ancillary
+    // drain (zero bits after the granule data) instead of inflating
+    // granule part2_3_lengths.  The reference pads granule 0 with
+    // 1-bits (l3bitstream.c:695-710), which every decoder then parses
+    // as extra count1 quads: harmless zeros under quad table A, but
+    // under table B they decode as +/-1 values scaled by 2^((gg-210)/4)
+    // -- audible spikes -- and their sign bits overrun part2_3_length
+    // (mpg123 "dequantization failed").  Ancillary stuffing has the
+    // exact same reservoir/back-pointer arithmetic and is always safe.
     if (nch == 2 && (mean_bits & 1)) size += 1;
     long over = size - resv_max;
     if (over < 0) over = 0;
@@ -393,21 +402,7 @@ void mp3bits_encode_clip(void* h, long nframes, int bits_per_frame,
       stuffing += align;
       size -= align;
     }
-    int resv_drain = 0;
-    if (stuffing) {
-      if (frame_p23[0][0] + stuffing < 4095) {
-        frame_p23[0][0] += static_cast<int>(stuffing);
-      } else {
-        for (int gr = 0; gr < 2 && stuffing; ++gr)
-          for (int ch = 0; ch < nch && stuffing; ++ch) {
-            long extra = 4095 - frame_p23[gr][ch];
-            long take = extra < stuffing ? extra : stuffing;
-            frame_p23[gr][ch] += static_cast<int>(take);
-            stuffing -= take;
-          }
-        resv_drain = static_cast<int>(stuffing);
-      }
-    }
+    int resv_drain = static_cast<int>(stuffing);
     const int* side_rows[4];
     const int* sfl_rows[4];
     const int* sfs_rows[4];

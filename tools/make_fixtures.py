@@ -19,11 +19,24 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 REF = "/tmp/ref/mp3enc"
 
 
-def gen_signal(kind, seconds, rate, nch, seed=0):
+def gen_signal(kind, seconds, rate, nch, seed=0, level=1.0):
     n = int(seconds * rate)
     t = np.arange(n) / rate
     rng = np.random.RandomState(seed)
-    if kind == "sine":
+    if kind == "mix":
+        # music-like: harmonic stack + slow AM + soft noise floor
+        x = np.zeros(n)
+        for k, f0 in enumerate((220.0, 440.0, 659.3, 880.0, 1318.5)):
+            x += (0.5 / (k + 1)) * np.sin(2 * np.pi * f0 * t + 0.7 * k)
+        x *= 0.5 * (1.0 + 0.4 * np.sin(2 * np.pi * 3.0 * t))
+        x += 0.01 * rng.randn(n)
+        if nch == 2:
+            y = np.zeros(n)
+            for k, f0 in enumerate((246.9, 493.9, 740.0, 987.8)):
+                y += (0.5 / (k + 1)) * np.sin(2 * np.pi * f0 * t + 0.3 * k)
+            y += 0.01 * rng.randn(n)
+            x = np.stack([x, y], axis=1)
+    elif kind == "sine":
         x = 0.6 * np.sin(2 * np.pi * 440.0 * t)
         if nch == 2:
             y = 0.6 * np.sin(2 * np.pi * 554.37 * t)
@@ -57,7 +70,7 @@ def gen_signal(kind, seconds, rate, nch, seed=0):
         raise ValueError(kind)
     if x.ndim == 1:
         x = x[:, None] if nch == 1 else np.stack([x, x], axis=1)
-    return np.clip(x * 32767, -32768, 32767).astype(np.int16)
+    return np.clip(x * level * 32767, -32768, 32767).astype(np.int16)
 
 
 FIXTURES = [
@@ -72,6 +85,22 @@ FIXTURES = [
     ("sine_st_128_32k", "sine", 1.0, 32000, 2, 128, "s"),
     ("noise_mono_64", "noise", 1.0, 44100, 1, 64, "m"),
     ("trans_st_256", "transient", 1.5, 44100, 2, 256, "s"),
+]
+
+# Quality fixtures at moderate level (-16..-20 dBFS): the reference's
+# pow_nint quantizer does NOT saturate here, so its decoded SNR is the
+# real 25-60 dB -- these make the >=-reference quality gate meaningful
+# (VERDICT round 1, "What's weak" item 2).
+QUALITY_FIXTURES = [
+    ("q_sine_st_128", "sine", 1.2, 44100, 2, 128, "s", 0.15),
+    ("q_sweep_st_128", "sweep", 1.5, 44100, 2, 128, "s", 0.15),
+    ("q_noise_st_128", "noise", 1.0, 44100, 2, 128, "s", 0.15),
+    ("q_trans_st_128", "transient", 1.5, 44100, 2, 128, "s", 0.15),
+    ("q_mix_st_128", "mix", 1.5, 44100, 2, 128, "s", 0.25),
+    ("q_mix_st_192", "mix", 1.5, 44100, 2, 192, "s", 0.25),
+    ("q_sine_mono_64", "sine", 1.0, 44100, 1, 64, "m", 0.15),
+    ("q_mix_st_320_48k", "mix", 1.0, 48000, 2, 320, "s", 0.25),
+    ("q_mix_mono_96_32k", "mix", 1.0, 32000, 1, 96, "m", 0.25),
 ]
 
 
@@ -91,12 +120,14 @@ LAYER12_FIXTURES = [
 ]
 
 
-def main():
+def main(rows=None):
     os.makedirs(GOLDEN, exist_ok=True)
-    for name, kind, secs, rate, nch, kbps, mode in FIXTURES:
+    if rows is None:
+        rows = [f + (1.0,) for f in FIXTURES] + QUALITY_FIXTURES
+    for name, kind, secs, rate, nch, kbps, mode, level in rows:
         wav = os.path.join(GOLDEN, f"{name}.wav")
         mp3 = os.path.join(GOLDEN, f"{name}.ref.mp3")
-        pcm = gen_signal(kind, secs, rate, nch)
+        pcm = gen_signal(kind, secs, rate, nch, level=level)
         write_wav(wav, pcm, rate)
         cmd = [REF, "-l", "3", "-m", mode, "-p", "2", "-s", str(rate / 1000.0),
                "-b", str(kbps), wav, mp3]
@@ -124,5 +155,7 @@ if __name__ == "__main__":
     import sys
     if len(sys.argv) > 1 and sys.argv[1] == "layer12":
         main_layer12()
+    elif len(sys.argv) > 1 and sys.argv[1] == "quality":
+        main(rows=QUALITY_FIXTURES)
     else:
         main()
