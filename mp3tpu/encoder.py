@@ -90,13 +90,19 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None):
 
     # ---- ONE dense encode at the final budgets; unconstrained
     # granules rerun at 4095 and deterministically reproduce their
-    # demand encode.  pack_state is fused into the dispatch; a single
-    # device_get drains the packed state through the tunnel.
+    # demand encode.  Huffman emission + bit packing run on device
+    # (ops/jaxbits), so the single device_get drains only the
+    # entropy-coded payload + side scalars through the tunnel.  The
+    # payload row width is sized to the clip's max granule (p23 <=
+    # target elementwise), bucketed to bound recompilation.
+    words_needed = (int(target.max()) + 31) // 32 if target.size else 1
+    pw = min(layer3.jaxbits.PAYLOAD_WORDS,
+             max(16, ((words_needed + 15) // 16) * 16))
     final_budget = np.where(target < demand, target, 4095).reshape(-1)
     with prof.stage("final encode+pack (device)"):
         host = jax.device_get(layer3.encode_final(
             xr, rl, rs, bt, jnp.asarray(final_budget, jnp.float32),
-            cfg.version, cfg.sampling_frequency))
+            cfg.version, cfg.sampling_frequency, payload_words=pw))
 
     # the dense re-encode is the authority on p23 (float batch-shape
     # jitter vs the probes can move a lane by a few bits): re-check
@@ -115,18 +121,16 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None):
         with prof.stage("final encode+pack retry (device)"):
             host = jax.device_get(layer3.encode_final(
                 xr, rl, rs, bt, jnp.asarray(final_budget, jnp.float32),
-                cfg.version, cfg.sampling_frequency))
+                cfg.version, cfg.sampling_frequency, payload_words=pw))
         p23 = np.asarray(host["part2_3_length"]).astype(np.int64) \
             .reshape(nch, G)
 
+    payload = np.ascontiguousarray(host.pop("payload")).reshape(nch, G, -1)
     host = {k: np.asarray(v).astype(np.int32) for k, v in host.items()}
     bts_all = host["block_type"]
     prof_marshal = prof.stage("host marshal")
     prof_marshal.__enter__()
     side = np.zeros((nch, G, 19), np.int32)
-    sfl_all = np.zeros((nch, G, 22), np.int32)
-    sfs_all = np.zeros((nch, G, 39), np.int32)
-    ix_all = np.zeros((nch, G, 576), np.int32)
     for ch in range(nch):
         sl = slice(ch * G, (ch + 1) * G)
         side[ch, :, 0] = p23[ch]
@@ -145,24 +149,19 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None):
         side[ch, :, 16] = host["a1"][sl]
         side[ch, :, 17] = host["a2"][sl]
         side[ch, :, 18] = host["count1"][sl]
-        sfl_all[ch, :, :21] = host["sf_l"][sl]
-        sfs_all[ch, :, :36] = host["sf_s"][sl].reshape(G, 36)
-        ix_all[ch] = host["ix"][sl]
     prof_marshal.__exit__(None, None, None)
 
-    # ---- final exact reservoir + stuffing + native assembly: the
-    # whole clip's frame loop (reservoir.c:141-226 + l3bitstream.c)
-    # runs in one C++ call over the channel-major arrays
+    # ---- final exact reservoir + stuffing + payload weave: the whole
+    # clip's frame loop (reservoir.c:141-226 + side-info emission)
+    # runs in one C++ call; granule main_data arrives pre-packed from
+    # the device (ops/jaxbits)
     from .runtime.bitstream import NativeAssembler
     with prof.stage("native assembly"):
         asm = NativeAssembler(cfg, np.asarray(sfb_s, np.int32))
         scfsi = np.zeros((2, 4), np.int32)
-        asm.encode_clip(nframes, bits_per_frame, mean_bits, resv_max,
-                        np.ascontiguousarray(scfsi),
-                        np.ascontiguousarray(side),
-                        np.ascontiguousarray(sfl_all),
-                        np.ascontiguousarray(sfs_all),
-                        np.ascontiguousarray(ix_all))
+        asm.encode_clip_payload(nframes, bits_per_frame, mean_bits,
+                                resv_max, np.ascontiguousarray(scfsi),
+                                np.ascontiguousarray(side), payload)
         out = asm.finish()
     return out
 

@@ -29,7 +29,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops import jaxdsp, jaxloop, jaxpsy
+from ..ops import jaxbits, jaxdsp, jaxloop, jaxpsy
 from ..tables import mpeg
 
 
@@ -96,17 +96,26 @@ def analyze_demand(pcm_i16, version, sampling_frequency, sfreq_hz):
     return ana, state["part2_3_length"]
 
 
-@partial(jax.jit, static_argnames=("version", "sampling_frequency"))
+@partial(jax.jit, static_argnames=("version", "sampling_frequency",
+                                   "payload_words"))
 def encode_final(xr, ratio_l, ratio_s, block_type, budget, version,
-                 sampling_frequency):
-    """One dense full-batch encode at the final budgets, returning the
-    tunnel-packed coding state (pack_state fused into the dispatch)."""
+                 sampling_frequency, payload_words=jaxbits.PAYLOAD_WORDS):
+    """One dense full-batch encode at the final budgets.  The entire
+    main_data (scalefactors + Huffman codewords) is emitted and
+    bit-packed ON DEVICE (ops/jaxbits); only the entropy-coded payload
+    plus the side-info scalars cross the host link -- the host weave
+    (native/mp3bits.cpp) never sees raw spectra."""
     ST = jaxloop._static(version, sampling_frequency)
     is_short_block = block_type != mpeg.NORM_TYPE
     out = jaxloop.outer_loop(xr, budget, ratio_l, ratio_s,
                              is_short_block, block_type, ST)
-    out["ix"] = jnp.where((xr < 0) & (out["ix"] > 0), -out["ix"], out["ix"])
-    return pack_state(out, block_type)
+    ix_signed = jnp.where((xr < 0) & (out["ix"] > 0), -out["ix"], out["ix"])
+    is_short = is_short_block & (block_type == 2)
+    payload, _ = jaxbits.granule_payload(out, ix_signed, is_short, ST,
+                                         payload_words)
+    packed = pack_state(out, block_type)
+    packed["payload"] = payload
+    return packed
 
 
 def _analyze_body(blocks, halo_samples, version, sampling_frequency,
@@ -134,12 +143,9 @@ def _encode_body(xr, ratio_l, ratio_s, block_type, budget, version,
 
 @jax.jit
 def pack_state(state, block_type):
-    """Compress the per-granule coding state for the tunnel: one
-    device_get of ~half the bytes (ix fits int16, |ix| <= 8206)."""
+    """Side-info scalars for the tunnel (the spectrum itself leaves the
+    device only as the bit-packed payload from ops/jaxbits)."""
     return dict(
-        ix=state["ix"].astype(jnp.int16),
-        sf_l=state["sf_l"].astype(jnp.int8),
-        sf_s=state["sf_s"].astype(jnp.int8),
         part2=state["part2"].astype(jnp.int16),
         compress=state["compress"].astype(jnp.int16),
         preflag=state["preflag"].astype(jnp.int8),

@@ -1,0 +1,257 @@
+"""On-device Layer III main_data emission: Huffman codewords +
+scalefactors materialized as (value, length) elements and bit-packed
+into per-granule payload buffers — entirely on the TPU.
+
+Why: the encoder's host link is the bottleneck (the axon tunnel moves
+~28 MB/s; raw ix alone is 10.6 MB for a 60 s clip).  Emitting the
+entropy-coded payload on device shrinks the transfer to the actual
+MP3 main_data (~1 MB per 60 s at 128 kbps) and reduces the host
+assembler (native/mp3bits.cpp) to a header/side-info weave.
+
+Semantics replicate l3bitstream.c:516-716 (Huffman emission with ESC
+linbits and sign packing) and :195-254 (scalefactor emission); the
+byte-exact Python oracle is mp3tpu/numpy_ref/bitstream.py
+(encode_scalefacs / encode_spectrum), which tests compare against.
+
+The bit packer is a fixed-depth merge tree over (value, length)
+elements: each level concatenates pairs of MSB-aligned word buffers
+with a per-lane dynamic bit offset (gather + shift + or) — O(E log E)
+word traffic, no scatters, fully fused by XLA.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tables import mpeg
+from ..tables.huffman import HUFF
+
+# flattened (34*256,) lookups for pair code/len gathers
+_CODES_FLAT = HUFF.codes.reshape(-1).astype(np.uint32)
+_HLEN_FLAT = HUFF.hlen.reshape(-1).astype(np.int32)
+_LINBITS = HUFF.linbits.astype(np.int32)
+_C1_CODES = HUFF.codes[32:34, 0, :16].astype(np.uint32)   # (2, 16)
+_C1_HLEN = HUFF.hlen[32:34, 0, :16].astype(np.int32)      # (2, 16)
+_SLEN1 = mpeg.SLEN1_TAB.astype(np.int32)
+_SLEN2 = mpeg.SLEN2_TAB.astype(np.int32)
+
+PAYLOAD_WORDS = 128   # 4096 bits >= max part2_3_length (12-bit field)
+
+
+def _u32(x):
+    return x.astype(jnp.uint32)
+
+
+def scalefac_elements(sf_l, sf_s, compress, is_short):
+    """Scalefactor (value, length) elements, 36 slots per granule.
+
+    Short blocks (l3bitstream.c:240-254): sfb 0..5 x3 windows at slen1
+    then sfb 6..11 x3 at slen2 — exactly 36 slots in (sfb, window)
+    order.  Long blocks (:221-238, scfsi = 0 as the fast path sends):
+    sfb 0..10 at slen1, 11..20 at slen2 in the first 21 slots, rest 0.
+    """
+    G = sf_l.shape[0]
+    slen1 = jnp.asarray(_SLEN1)[compress]          # (G,)
+    slen2 = jnp.asarray(_SLEN2)[compress]
+    j = jnp.arange(36)
+    # short layout
+    sfb_s = j // 3
+    val_s = sf_s.reshape(G, 36)
+    len_s = jnp.where(sfb_s[None, :] < 6, slen1[:, None], slen2[:, None])
+    # long layout
+    val_l = jnp.pad(sf_l, ((0, 0), (0, 15)))
+    len_l = jnp.where(j[None, :] < 11, slen1[:, None],
+                      jnp.where(j[None, :] < 21, slen2[:, None], 0))
+    values = jnp.where(is_short[:, None], val_s, val_l)
+    lengths = jnp.where(is_short[:, None], len_s, len_l)
+    return _u32(values), lengths.astype(jnp.int32)
+
+
+def pair_elements(ix_signed, a1, a2, big_values, table_select, is_short,
+                  ST):
+    """Huffman elements for the 288 big-value pairs: per pair a code
+    element (code + packed sign bits for tables <= 15) and an ext
+    element (ESC linbits + signs, tables > 15), interleaved in stream
+    order.  Returns (values (G, 576), lengths (G, 576))."""
+    G = ix_signed.shape[0]
+    perm = jnp.asarray(ST["perm_short"])
+    ixp = jnp.where(is_short[:, None], ix_signed[:, perm], ix_signed)
+    pairs = ixp.reshape(G, 288, 2)
+    xs, ys = pairs[:, :, 0], pairs[:, :, 1]
+    sgx = (xs < 0).astype(jnp.uint32)
+    sgy = (ys < 0).astype(jnp.uint32)
+    x = jnp.abs(xs)
+    y = jnp.abs(ys)
+
+    pos2 = 2 * jnp.arange(288)[None, :]
+    ts = table_select
+    t_long = jnp.where(pos2 < a1[:, None], ts[:, 0:1],
+                       jnp.where(pos2 < a2[:, None], ts[:, 1:2], ts[:, 2:3]))
+    t_short = jnp.where(jnp.arange(288)[None, :] < ST["r0_pairs_short"],
+                        ts[:, 0:1], ts[:, 1:2])
+    t = jnp.where(is_short[:, None], t_short, t_long)
+    valid = jnp.where(is_short[:, None], True, pos2 < 2 * big_values[:, None])
+    valid = valid & (t > 0)
+
+    xc = jnp.minimum(x, 15)
+    yc = jnp.minimum(y, 15)
+    flat = t * 256 + xc * 16 + yc
+    code = jnp.asarray(_CODES_FLAT)[flat]          # (G, 288) u32
+    cbits = jnp.asarray(_HLEN_FLAT)[flat]
+    linbits = jnp.asarray(_LINBITS)[t]
+    esc = t > 15
+
+    # tables <= 15: append sign bits into the code (l3bitstream.c:860)
+    nx = (x != 0).astype(jnp.int32)
+    ny = (y != 0).astype(jnp.int32)
+    csmall = jnp.where(nx == 1, (code << 1) | sgx, code)
+    csmall = jnp.where(ny == 1, (csmall << 1) | sgy, csmall)
+    lsmall = cbits + nx + ny
+
+    # ESC ext field (l3bitstream.c:826-850): linbits(x-15), sign x,
+    # linbits(y-15), sign y — each present per its own condition
+    linx = _u32(jnp.maximum(x - 15, 0))
+    liny = _u32(jnp.maximum(y - 15, 0))
+    bx = x > 14
+    by = y > 14
+    ext = jnp.where(bx, linx, jnp.uint32(0))
+    xb = jnp.where(bx, linbits, 0)
+    ext = jnp.where(nx == 1, (ext << 1) | sgx, ext)
+    xb = xb + nx
+    ext = jnp.where(by, (ext << linbits) | liny, ext)
+    xb = xb + jnp.where(by, linbits, 0)
+    ext = jnp.where(ny == 1, (ext << 1) | sgy, ext)
+    xb = xb + ny
+
+    code_val = jnp.where(esc, code, csmall)
+    code_len = jnp.where(esc, cbits, lsmall)
+    ext_len = jnp.where(esc, xb, 0)
+    code_len = jnp.where(valid, code_len, 0)
+    ext_len = jnp.where(valid, ext_len, 0)
+
+    values = jnp.stack([code_val, ext], axis=2).reshape(G, 576)
+    lengths = jnp.stack([code_len, ext_len], axis=2).reshape(G, 576)
+    return _u32(values), lengths.astype(jnp.int32)
+
+
+def count1_elements(ix_signed, big_values, count1, c1ts):
+    """count1-region quads (l3bitstream.c:728-767): code + a sign bit
+    after each nonzero component, packed into one element per quad
+    (<= 10 bits).  The quad region starts at 2*big_values (2-aligned,
+    not 4-aligned) — gathered with a per-granule dynamic offset."""
+    G = ix_signed.shape[0]
+    start = 2 * big_values
+    pos = start[:, None] + jnp.arange(576)[None, :] * 0  # shape helper
+    qpos = (start[:, None, None] + 4 * jnp.arange(144)[None, :, None]
+            + jnp.arange(4)[None, None, :])              # (G, 144, 4)
+    qclip = jnp.clip(qpos, 0, 575)
+    v = jnp.take_along_axis(ix_signed, qclip.reshape(G, -1),
+                            axis=1).reshape(G, 144, 4)
+    v = jnp.where(qpos <= 575, v, 0)
+    a = jnp.abs(v)
+    sg = (v < 0).astype(jnp.uint32)
+    p = a[:, :, 0] + 2 * a[:, :, 1] + 4 * a[:, :, 2] + 8 * a[:, :, 3]
+    code = jnp.asarray(_C1_CODES)[c1ts[:, None], p]      # (G, 144)
+    hl = jnp.asarray(_C1_HLEN)[c1ts[:, None], p]
+    for k in range(4):
+        nz = a[:, :, k] != 0
+        code = jnp.where(nz, (code << 1) | sg[:, :, k], code)
+        hl = hl + nz.astype(jnp.int32)
+    valid = jnp.arange(144)[None, :] < count1[:, None]
+    hl = jnp.where(valid, hl, 0)
+    return _u32(code), hl.astype(jnp.int32)
+
+
+def granule_elements(state, ix_signed, is_short, ST):
+    """Full main_data element stream for a batch of granules:
+    36 scalefactor slots + 576 pair slots + 144 quad slots = 756.
+    state: the outer_loop output dict."""
+    sv, sl = scalefac_elements(state["sf_l"], state["sf_s"],
+                               state["compress"], is_short)
+    pv, pl = pair_elements(ix_signed, state["a1"], state["a2"],
+                           state["big_values"], state["table_select"],
+                           is_short, ST)
+    qv, ql = count1_elements(ix_signed, state["big_values"],
+                             state["count1"],
+                             state["count1table_select"])
+    values = jnp.concatenate([sv, pv, qv], axis=1)
+    lengths = jnp.concatenate([sl, pl, ql], axis=1)
+    return values, lengths
+
+
+def _seg_or_scan(x, ids, n_steps):
+    """Inclusive segmented OR scan along axis 1: out[e] = OR of x[e']
+    for all e' <= e with ids[e'] == ids[e].  Hillis-Steele doubling —
+    static shifts only (TPU-friendly; no gathers).  ids must be
+    non-decreasing along axis 1."""
+    for k in range(n_steps):
+        sh = 1 << k
+        if sh >= x.shape[1]:
+            break
+        x_prev = jnp.pad(x, ((0, 0), (sh, 0)))[:, :-sh]
+        id_prev = jnp.pad(ids, ((0, 0), (sh, 0)),
+                          constant_values=-1)[:, :-sh]
+        x = x | jnp.where(id_prev == ids, x_prev, jnp.uint32(0))
+    return x
+
+
+def pack_elements(values, lengths, w_cap=PAYLOAD_WORDS):
+    """Bit-pack (G, E) MSB-first elements -> ((G, w_cap) u32 words,
+    (G,) total bits).
+
+    TPU-native formulation: element bit offsets come from a cumsum;
+    each element contributes to at most two 32-bit output words (all
+    lengths <= 32); contributions to the same word have disjoint bits,
+    so per-word accumulation is a segmented OR over the (sorted)
+    starting-word ids — a log2(E)-step doubling scan with static
+    shifts.  The per-word result is then a single gather at the last
+    element of each word's segment (found by searchsorted)."""
+    G, E = values.shape
+    lengths = lengths.astype(jnp.int32)
+    vmask = jnp.where(lengths >= 32, jnp.uint32(0xFFFFFFFF),
+                      (jnp.uint32(1) << _u32(lengths)) - jnp.uint32(1))
+    v = _u32(values) & vmask
+    v_msb = jnp.where(lengths > 0, v << _u32(32 - lengths), jnp.uint32(0))
+
+    end = jnp.cumsum(lengths, axis=1)
+    off = end - lengths                                   # exclusive
+    nbits = end[:, -1]
+    w0 = off >> 5                                         # start word
+    r = _u32(off & 31)
+    c0 = v_msb >> r
+    c1 = jnp.where(r > 0, v_msb << (jnp.uint32(32) - r), jnp.uint32(0))
+
+    n_steps = max(1, (E - 1).bit_length())
+    s0 = _seg_or_scan(c0, w0, n_steps)
+    s1 = _seg_or_scan(c1, w0, n_steps)
+
+    # cnt[w] = number of elements with w0 <= w, for w = -2 .. w_cap-1
+    wq = jnp.broadcast_to(jnp.arange(-2, w_cap), (G, w_cap + 2))
+    cnt = jax.vmap(partial(jnp.searchsorted, side="right"))(w0, wq)
+    cw = cnt[:, 2:]            # cnt[w]
+    cw1 = cnt[:, 1:-1]         # cnt[w-1]
+    cw2 = cnt[:, :-2]          # cnt[w-2]
+    has0 = cw > cw1            # some element starts in word w
+    has1 = cw1 > cw2           # some element starts in word w-1
+    g0 = jnp.take_along_axis(s0, jnp.maximum(cw - 1, 0), axis=1)
+    g1 = jnp.take_along_axis(s1, jnp.maximum(cw1 - 1, 0), axis=1)
+    words = (jnp.where(has0, g0, jnp.uint32(0))
+             | jnp.where(has1, g1, jnp.uint32(0)))
+    return words, nbits
+
+
+def granule_payload(state, ix_signed, is_short, ST,
+                    w_cap=PAYLOAD_WORDS):
+    """Emit + pack a batch of granules' main_data.
+
+    Returns (payload (G, w_cap) u32 MSB-first, nbits (G,)).  nbits
+    equals part2_3_length by construction (stuffing is drained to the
+    ancillary region by the host weave, never inside the granule)."""
+    values, lengths = granule_elements(state, ix_signed, is_short, ST)
+    return pack_elements(values, lengths, w_cap)
+
+
+@partial(jax.jit, static_argnames=("w_cap",))
+def pack_elements_jit(values, lengths, w_cap=PAYLOAD_WORDS):
+    return pack_elements(values, lengths, w_cap)

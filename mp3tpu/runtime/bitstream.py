@@ -56,6 +56,12 @@ def get_lib():
             ctypes.c_long, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.mp3bits_encode_clip_payload.restype = None
+        lib.mp3bits_encode_clip_payload.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_long,
+            ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int]
         lib.mp3resv_scan.restype = None
         lib.mp3resv_scan.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
@@ -162,6 +168,19 @@ class NativeAssembler:
         self._lib.mp3bits_encode_clip(
             self._h, nframes, bits_per_frame, mean_bits, resv_max,
             _ptr(scfsi), _ptr(side), _ptr(sfl), _ptr(sfs), _ptr(ix))
+
+    def encode_clip_payload(self, nframes, bits_per_frame, mean_bits,
+                            resv_max, scfsi, side, payload):
+        """Assemble a clip from device-packed granule payloads: exact
+        reservoir stuffing plan + side-info weave + payload splice.
+        side (nch, G, 19) with part2_3_length at [..., 0]; payload
+        (nch, G, W) uint32 MSB-first word rows (ops/jaxbits.py)."""
+        payload = np.ascontiguousarray(payload, np.uint32)
+        self._lib.mp3bits_encode_clip_payload(
+            self._h, nframes, bits_per_frame, mean_bits, resv_max,
+            _ptr(scfsi), _ptr(side),
+            payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            payload.shape[-1])
 
     def finish(self):
         n = self._lib.mp3bits_finish(self._h)

@@ -425,6 +425,133 @@ void mp3bits_encode_clip(void* h, long nframes, int bits_per_frame,
   }
 }
 
+// Whole-clip assembly from DEVICE-PACKED payloads: the TPU emits each
+// granule's main_data (scalefactors + Huffman codewords) as an
+// MSB-first u32 word row (ops/jaxbits.py); this weave only writes
+// headers + side info and splices the payload bits, plus the exact
+// reservoir frame-end accounting (reservoir.c:155-226, ancillary
+// stuffing deviation as in mp3bits_encode_clip above).
+// payload: (nch, G, words_per_row) u32 rows, channel-major like side;
+// each granule's bit length is its part2_3_length (side[...][0]).
+void mp3bits_encode_clip_payload(void* h, long nframes, int bits_per_frame,
+                                 long mean_bits, long resv_max,
+                                 const int* scfsi, const int* side,
+                                 const uint32_t* payload,
+                                 int words_per_row) {
+  auto* a = static_cast<Assembler*>(h);
+  int nch = a->nch;
+  long G = 2 * nframes;
+  long size = 0;
+  int main_data_begin = 0;
+  for (long f = 0; f < nframes; ++f) {
+    int frame_p23[2][2];
+    for (int gr = 0; gr < 2; ++gr)
+      for (int ch = 0; ch < nch; ++ch) {
+        long g = 2 * f + gr;
+        int p23 = side[(ch * G + g) * 19];
+        frame_p23[gr][ch] = p23;
+        size += mean_bits / nch - p23;
+      }
+    if (nch == 2 && (mean_bits & 1)) size += 1;
+    long over = size - resv_max;
+    if (over < 0) over = 0;
+    size -= over;
+    long stuffing = over;
+    long align = size % 8;
+    if (align) {
+      stuffing += align;
+      size -= align;
+    }
+
+    // side-info record (identical field layout to add_frame)
+    SideRecord rec;
+    rec.frame_len = bits_per_frame;
+    auto& si = rec.si;
+    si.push_back({0xFFF, 12});
+    si.push_back({(uint32_t)a->version, 1});
+    si.push_back({(uint32_t)(4 - a->layer), 2});
+    si.push_back({(uint32_t)(a->error_protection ? 0 : 1), 1});
+    si.push_back({(uint32_t)a->bitrate_index, 4});
+    si.push_back({(uint32_t)a->sampling_frequency, 2});
+    si.push_back({0, 1});
+    si.push_back({0, 1});
+    si.push_back({(uint32_t)a->mode, 2});
+    si.push_back({(uint32_t)a->mode_ext, 2});
+    si.push_back({(uint32_t)a->copyright, 1});
+    si.push_back({(uint32_t)a->original, 1});
+    si.push_back({(uint32_t)a->emphasis, 2});
+    si.push_back({(uint32_t)main_data_begin, 9});
+    si.push_back({(uint32_t)a->private_bits, (uint16_t)(nch == 2 ? 3 : 5)});
+    for (int ch = 0; ch < nch; ch++)
+      for (int b = 0; b < 4; b++)
+        si.push_back({(uint32_t)scfsi[ch * 4 + b], 1});
+    for (int gr = 0; gr < 2; ++gr)
+      for (int ch = 0; ch < nch; ++ch) {
+        long g = 2 * f + gr;
+        const int* s = side + (ch * G + g) * 19;
+        GranuleSide gs{frame_p23[gr][ch], s[1], s[2], s[3], s[4], s[5],
+                       s[6], {s[7], s[8], s[9]}, s[10], s[11], s[12],
+                       s[13], s[14], s[15], s[16], s[17], s[18]};
+        si.push_back({(uint32_t)gs.p23, 12});
+        si.push_back({(uint32_t)gs.big_values, 9});
+        si.push_back({(uint32_t)gs.global_gain, 8});
+        si.push_back({(uint32_t)gs.compress, 4});
+        si.push_back({(uint32_t)gs.wsf, 1});
+        if (gs.wsf) {
+          si.push_back({(uint32_t)gs.block_type, 2});
+          si.push_back({(uint32_t)gs.mixed, 1});
+          si.push_back({(uint32_t)gs.ts[0], 5});
+          si.push_back({(uint32_t)gs.ts[1], 5});
+          si.push_back({0, 3});
+          si.push_back({0, 3});
+          si.push_back({0, 3});
+        } else {
+          si.push_back({(uint32_t)gs.ts[0], 5});
+          si.push_back({(uint32_t)gs.ts[1], 5});
+          si.push_back({(uint32_t)gs.ts[2], 5});
+          si.push_back({(uint32_t)gs.r0, 4});
+          si.push_back({(uint32_t)gs.r1, 3});
+        }
+        si.push_back({(uint32_t)gs.preflag, 1});
+        si.push_back({(uint32_t)gs.scalefac_scale, 1});
+        si.push_back({(uint32_t)gs.c1ts, 1});
+      }
+    long si_bits = 0;
+    for (auto& e : si) si_bits += e.length;
+    rec.si_bits = static_cast<int>(si_bits);
+    a->queue.push_back(std::move(rec));
+
+    // main data: splice each granule's pre-packed payload bits
+    for (int gr = 0; gr < 2; ++gr)
+      for (int ch = 0; ch < nch; ++ch) {
+        long g = 2 * f + gr;
+        const uint32_t* row = payload + (ch * G + g) * words_per_row;
+        long bits = frame_p23[gr][ch];
+        long w = 0;
+        while (bits >= 32) {
+          a->write_main_bits(row[w++], 32);
+          bits -= 32;
+        }
+        if (bits > 0)
+          a->write_main_bits(row[w] >> (32 - bits), static_cast<int>(bits));
+      }
+    long drain = stuffing;
+    while (drain >= 32) {
+      a->write_main_bits(0, 32);
+      drain -= 32;
+    }
+    if (drain > 0) a->write_main_bits(0, static_cast<int>(drain));
+
+    long fwd_frame = 0, fwd_si = 0;
+    for (const auto& r : a->queue) {
+      fwd_frame += r.frame_len;
+      fwd_si += r.si_bits;
+    }
+    main_data_begin =
+        static_cast<int>(a->bits_remaining / 8 + fwd_frame / 8 - fwd_si / 8);
+  }
+}
+
 long mp3bits_finish(void* h) {
   auto* a = static_cast<Assembler*>(h);
   long fwd_frame = 0, fwd_si = 0;
