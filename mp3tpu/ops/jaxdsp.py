@@ -26,13 +26,6 @@ _SIGN = np.ones((18, 32))
 _SIGN[1::2, 1::2] = -1.0
 
 
-def _window_gather_matrix():
-    """(512, 32) matrices mapping a 512-sample history window to the
-    windowed z vector are just elementwise ops after an index reverse;
-    here we precompute the [shift, tap] index layout instead."""
-    return None
-
-
 def sliding_shift_windows(flat, nshift, dtype):
     """(nshift, 512) windows W[t, j] = flat[32 (t+1) + j] built from 16
     strided reshapes -- arbitrary-index gathers run on the TPU scalar

@@ -85,13 +85,3 @@ def encode_sharded(mesh, blocks, budget, version, sampling_frequency,
                   {"total_demand": P("frames")},
     )
     return fn(blocks, budget)
-
-
-def _psy_fsm_note():
-    """The block-type FSM inside each shard starts from NORM.  At shard
-    boundaries this can differ from the global sequential FSM by at
-    most one granule (a START that the sequential scan would emit as
-    SHORT, or vice versa); both encodings are valid bitstreams.  For
-    strict sequential equivalence the host can run the 3-state FSM over
-    the shard-boundary attack flags and re-encode at most one granule
-    per shard -- not enabled by default."""

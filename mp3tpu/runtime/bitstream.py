@@ -50,12 +50,6 @@ def get_lib():
         lib.mp3bits_pack.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_long, ctypes.POINTER(ctypes.c_ubyte)]
-        lib.mp3bits_encode_clip.restype = None
-        lib.mp3bits_encode_clip.argtypes = [
-            ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_long,
-            ctypes.c_long, ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
         lib.mp3bits_encode_clip_payload.restype = None
         lib.mp3bits_encode_clip_payload.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_long,
@@ -157,17 +151,6 @@ class NativeAssembler:
             self._h, bits_per_frame, padding, main_data_begin,
             _ptr(scfsi), _ptr(side), _ptr(sfl), _ptr(sfs), _ptr(ix),
             resv_drain)
-
-    def encode_clip(self, nframes, bits_per_frame, mean_bits, resv_max,
-                    scfsi, side, sfl, sfs, ix):
-        """Assemble every frame of a clip in one native call: exact
-        reservoir stuffing planning (reservoir.c:155-226) + frame
-        emission.  Arrays channel-major: side (nch, G, 19) with
-        part2_3_length at [..., 0], sfl (nch, G, 22), sfs (nch, G, 39),
-        ix (nch, G, 576); scfsi (nch, 4) applied to all frames."""
-        self._lib.mp3bits_encode_clip(
-            self._h, nframes, bits_per_frame, mean_bits, resv_max,
-            _ptr(scfsi), _ptr(side), _ptr(sfl), _ptr(sfs), _ptr(ix))
 
     def encode_clip_payload(self, nframes, bits_per_frame, mean_bits,
                             resv_max, scfsi, side, payload):

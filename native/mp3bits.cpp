@@ -1,11 +1,16 @@
 // Layer III bitstream assembler: native fast path.
 //
-// Byte-exact C++ reimplementation of the Python assembler in
+// C++ reimplementation of the Python assembler in
 // mp3tpu/numpy_ref/bitstream.py (itself a replica of the reference's
 // l3bitstream.c + formatBitstream.c): MSB-first bit writer, side-info
 // FIFO realizing the main_data_begin back-pointer, scalefactor and
-// Huffman emission (ESC linbits + sign packing), ones-stuffing, and
-// the trailing zero byte the reference's close path emits.
+// Huffman emission (ESC linbits + sign packing), and the trailing
+// zero byte the reference's close path emits.  The per-frame
+// add_frame entry is byte-exact vs the oracle; the whole-clip
+// entry points DELIBERATELY deviate on stuffing placement (all
+// stuffing goes to the ancillary drain instead of 1-bit-padding
+// granule 0 -- see the comment in the stuffing plan below for why
+// the reference's scheme corrupts decoders).
 //
 // Exposed as a C ABI for ctypes (see mp3tpu/runtime/bitstream.py).
 #include <cstdint>
@@ -354,83 +359,20 @@ int mp3bits_frame(void* h, int bits_per_frame, int padding, int main_data_begin,
                    side_rows, sfl_rows, sfs_rows, ix_rows, resv_drain);
 }
 
-// Whole-clip assembly: exact reservoir frame-end accounting
-// (reservoir.c:155-226 stuffing plan) + frame emission for all frames
-// in one call.  Arrays are CHANNEL-major as the encoder marshals them:
-// side (nch, G, 19), sfl (nch, G, 22), sfs (nch, G, 39), ix
-// (nch, G, 576) with G = 2*nframes; scfsi is (nch, 4) applied to every
-// frame (the fast path sends zeros).  side[...][0] holds each
-// granule's part2_3_length BEFORE stuffing; this scan mirrors
-// Reservoir.adjust/frame_end in mp3tpu/numpy_ref/reservoir.py.
-void mp3bits_encode_clip(void* h, long nframes, int bits_per_frame,
-                         long mean_bits, long resv_max, const int* scfsi,
-                         const int* side, const int* sfl, const int* sfs,
-                         const int* ix) {
-  auto* a = static_cast<Assembler*>(h);
-  int nch = a->nch;
-  long G = 2 * nframes;
-  long size = 0;
-  int main_data_begin = 0;
-  std::vector<int> patched(19 * 2 * nch);
-  for (long f = 0; f < nframes; ++f) {
-    // ResvAdjust per granule (reservoir.c:141-146)
-    int frame_p23[2][2];
-    for (int gr = 0; gr < 2; ++gr)
-      for (int ch = 0; ch < nch; ++ch) {
-        long g = 2 * f + gr;
-        int p23 = side[(ch * G + g) * 19];
-        frame_p23[gr][ch] = p23;
-        size += mean_bits / nch - p23;
-      }
-    // ResvFrameEnd stuffing plan (reservoir.c:155-226).  DELIBERATE
-    // deviation from the reference: ALL stuffing goes to the ancillary
-    // drain (zero bits after the granule data) instead of inflating
-    // granule part2_3_lengths.  The reference pads granule 0 with
-    // 1-bits (l3bitstream.c:695-710), which every decoder then parses
-    // as extra count1 quads: harmless zeros under quad table A, but
-    // under table B they decode as +/-1 values scaled by 2^((gg-210)/4)
-    // -- audible spikes -- and their sign bits overrun part2_3_length
-    // (mpg123 "dequantization failed").  Ancillary stuffing has the
-    // exact same reservoir/back-pointer arithmetic and is always safe.
-    if (nch == 2 && (mean_bits & 1)) size += 1;
-    long over = size - resv_max;
-    if (over < 0) over = 0;
-    size -= over;
-    long stuffing = over;
-    long align = size % 8;
-    if (align) {
-      stuffing += align;
-      size -= align;
-    }
-    int resv_drain = static_cast<int>(stuffing);
-    const int* side_rows[4];
-    const int* sfl_rows[4];
-    const int* sfs_rows[4];
-    const int* ix_rows[4];
-    for (int gr = 0; gr < 2; ++gr)
-      for (int ch = 0; ch < nch; ++ch) {
-        long g = 2 * f + gr;
-        int row = gr * nch + ch;
-        memcpy(patched.data() + 19 * row, side + (ch * G + g) * 19,
-               19 * sizeof(int));
-        patched[19 * row] = frame_p23[gr][ch];
-        side_rows[row] = patched.data() + 19 * row;
-        sfl_rows[row] = sfl + (ch * G + g) * 22;
-        sfs_rows[row] = sfs + (ch * G + g) * 39;
-        ix_rows[row] = ix + (ch * G + g) * 576;
-      }
-    main_data_begin = add_frame(a, bits_per_frame, 0, main_data_begin,
-                                scfsi, side_rows, sfl_rows, sfs_rows,
-                                ix_rows, resv_drain);
-  }
-}
-
 // Whole-clip assembly from DEVICE-PACKED payloads: the TPU emits each
 // granule's main_data (scalefactors + Huffman codewords) as an
 // MSB-first u32 word row (ops/jaxbits.py); this weave only writes
 // headers + side info and splices the payload bits, plus the exact
-// reservoir frame-end accounting (reservoir.c:155-226, ancillary
-// stuffing deviation as in mp3bits_encode_clip above).
+// reservoir frame-end accounting (reservoir.c:155-226).  DELIBERATE
+// deviation from the reference: ALL stuffing goes to the ancillary
+// drain (zero bits after the granule data) instead of inflating
+// granule part2_3_lengths.  The reference pads granule 0 with
+// 1-bits (l3bitstream.c:695-710), which every decoder then parses
+// as extra count1 quads: harmless zeros under quad table A, but
+// under table B they decode as +/-1 values scaled by 2^((gg-210)/4)
+// -- audible spikes -- and their sign bits overrun part2_3_length
+// (mpg123 "dequantization failed").  Ancillary stuffing has the
+// exact same reservoir/back-pointer arithmetic and is always safe.
 // payload: (nch, G, words_per_row) u32 rows, channel-major like side;
 // each granule's bit length is its part2_3_length (side[...][0]).
 void mp3bits_encode_clip_payload(void* h, long nframes, int bits_per_frame,
