@@ -26,8 +26,30 @@ from .tables import layer12 as T12
 from .tables import mpeg
 
 
-def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None):
+#: chunk-size buckets (granules per channel per dispatch).  A clip of
+#: ANY length is processed as fixed-size chunks of the smallest bucket
+#: that covers it (capped at the last), so at most len(CHUNK_BUCKETS)
+#: programs are ever compiled -- clip length no longer shapes the XLA
+#: program (compile time was superlinear in granule count, >590 s for
+#: a 60 s clip).  Chunks also bound device memory and give streaming
+#: stdin and the multi-chip path their natural unit of work.
+CHUNK_BUCKETS = (64, 128, 256, 512)
+
+
+def _chunk_size(G):
+    import os
+    env = os.environ.get("MP3TPU_CHUNK")
+    if env:
+        return int(env)
+    for c in CHUNK_BUCKETS:
+        if G <= c:
+            return c
+    return CHUNK_BUCKETS[-1]
+
+
+def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
     """Encode int16 PCM to MP3 bytes via the TPU path."""
+    import jax
     import jax.numpy as jnp
 
     prof = prof if prof is not None else profiling.from_env()
@@ -43,25 +65,45 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None):
     total = nframes * spf
     pcm = np.pad(pcm, ((0, 0), (0, total - pcm.shape[1])))
     G = nframes * 2
-    GT = nch * G
     sfreq_hz = float(mpeg.S_FREQ_KHZ[cfg.version][cfg.sampling_frequency]) * 1000.0
     sfb_s = mpeg.sfb_short(cfg.version, cfg.sampling_frequency)
 
-    # ---- whole-clip analysis + unconstrained demand encode: ONE
-    # dispatch, int16 uplink (the TPU tunnel is ~40 MB/s with ~25 ms
-    # per-call latency, so round-trips and bytes are what we optimize)
-    import jax
+    # ---- chunked analysis + unconstrained demand encode.  int16
+    # uplink (the TPU tunnel is ~40 MB/s with ~25 ms per-call latency);
+    # chunk dispatches are queued asynchronously -- the carried state
+    # (4 halo blocks from host PCM, FSM scalars as device arrays)
+    # never forces a host sync, so the K dispatches pipeline and the
+    # single device_get at the end drains only (pe, p23) scalars.
+    C = chunk or _chunk_size(G)
+    K = (G + C - 1) // C
+    Gp = K * C
+    blocks = np.zeros((nch, Gp, 576), np.int16)
+    blocks[:, :G] = pcm.astype(np.int16).reshape(nch, G, 576)
+    zero_halo = np.zeros((nch, 4, 576), np.float32)
 
-    pcm_i16 = pcm.astype(np.int16).reshape(nch, G, 576)
+    anas = []
+    fsm = jnp.zeros(nch, jnp.int32)
     with prof.stage("analyze+demand (device)"):
-        ana, p23_dev = layer3.analyze_demand(pcm_i16, cfg.version,
-                                             cfg.sampling_frequency,
-                                             sfreq_hz)
-        xr, rl, rs, bt = (ana["xr"], ana["ratio_l"], ana["ratio_s"],
-                          ana["block_type"])
-        small = jax.device_get({"pe": ana["pe"], "p23": p23_dev})
-    pe = small["pe"].reshape(nch, G)
-    p23 = small["p23"].astype(np.int64).reshape(nch, G)
+        for k in range(K):
+            halo4 = (zero_halo if k == 0 else
+                     blocks[:, k * C - 4: k * C].astype(np.float32))
+            ana, p23_dev = layer3.analyze_demand_chunk(
+                blocks[:, k * C:(k + 1) * C], halo4, fsm, cfg.version,
+                cfg.sampling_frequency, sfreq_hz)
+            fsm = ana["fsm_state"]
+            ana["p23"] = p23_dev
+            anas.append(ana)
+        small = jax.device_get([(a["pe"], a["p23"]) for a in anas])
+
+    def _cat(parts):
+        """chunk-major (nch*C, ...) parts -> (nch, G, ...) real granules."""
+        parts = [np.asarray(p) for p in parts]
+        out = np.concatenate(
+            [p.reshape((nch, C) + p.shape[1:]) for p in parts], axis=1)
+        return out[:, :G]
+
+    pe = _cat([s[0] for s in small]).astype(np.float64)
+    p23 = _cat([s[1] for s in small]).astype(np.int64)
 
     whole_spf, _ = cfg.slots_per_frame()
     bits_per_frame = 8 * whole_spf
@@ -88,27 +130,53 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None):
         demand, resv_scan(pe, demand, None, None, nframes, nch,
                           mean_bits, resv_max))
 
-    # ---- ONE dense encode at the final budgets; unconstrained
-    # granules rerun at 4095 and deterministically reproduce their
-    # demand encode.  Huffman emission + bit packing run on device
-    # (ops/jaxbits), so the single device_get drains only the
+    # ---- dense encode at the final budgets, chunk by chunk;
+    # unconstrained granules rerun at 4095 and deterministically
+    # reproduce their demand encode.  Huffman emission + bit packing
+    # run on device (ops/jaxbits), so the device_get drains only the
     # entropy-coded payload + side scalars through the tunnel.  The
     # payload row width is sized to the clip's max granule (p23 <=
     # target elementwise), bucketed to bound recompilation.
+    def run_final(target, pw, label):
+        budget = np.full((nch, Gp), 4095.0, np.float32)
+        budget[:, :G] = np.where(target < demand, target, 4095)
+        with prof.stage(label):
+            hosts = [layer3.encode_final(
+                a["xr"], a["ratio_l"], a["ratio_s"], a["block_type"],
+                jnp.asarray(budget[:, k * C:(k + 1) * C].reshape(-1)),
+                cfg.version, cfg.sampling_frequency, payload_words=pw)
+                for k, a in enumerate(anas)]
+            hosts = jax.device_get(hosts)
+        host = {}
+        for key in hosts[0]:
+            if key == "payload":
+                continue
+            v = _cat([h[key] for h in hosts])
+            host[key] = v.reshape((nch * G,) + v.shape[2:])
+        payload = np.concatenate(
+            [np.asarray(h["payload"]).reshape(nch, C, -1)
+             for h in hosts], axis=1)[:, :G]
+        return host, payload
+
     words_needed = (int(target.max()) + 31) // 32 if target.size else 1
     pw = min(layer3.jaxbits.PAYLOAD_WORDS,
              max(16, ((words_needed + 15) // 16) * 16))
-    final_budget = np.where(target < demand, target, 4095).reshape(-1)
-    with prof.stage("final encode+pack (device)"):
-        host = jax.device_get(layer3.encode_final(
-            xr, rl, rs, bt, jnp.asarray(final_budget, jnp.float32),
-            cfg.version, cfg.sampling_frequency, payload_words=pw))
+    host, payload = run_final(target, pw, "final encode+pack (device)")
 
     # the dense re-encode is the authority on p23 (float batch-shape
-    # jitter vs the probes can move a lane by a few bits): re-check
-    # feasibility on the actual values, clamping in the rare miss
-    p23 = np.asarray(host["part2_3_length"]).astype(np.int64) \
-        .reshape(nch, G)
+    # jitter vs the demand probes can move a lane by a few bits):
+    # (a) a granule can exceed its payload-word bucket -> silent
+    #     truncation in the splice; detect and re-bucket wider;
+    # (b) the reservoir guard can flag an overdraw; clamp budgets
+    #     (floored -- a tiny frame's limit could otherwise go <= 0)
+    #     and re-encode.
+    p23 = host["part2_3_length"].astype(np.int64).reshape(nch, G)
+    while int(p23.max()) > 32 * pw:
+        assert pw < layer3.jaxbits.PAYLOAD_WORDS, \
+            "granule exceeds the maximum payload row"
+        pw = min(layer3.jaxbits.PAYLOAD_WORDS, pw + 16)
+        host, payload = run_final(target, pw, "final re-bucket (device)")
+        p23 = host["part2_3_length"].astype(np.int64).reshape(nch, G)
     for _retry in range(3):
         bad, limits = resv_guard(p23, nframes, nch, mean_bits, resv_max)
         if not bad:
@@ -116,16 +184,26 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None):
         if _retry == 2:
             raise RuntimeError(
                 "reservoir guard failed to converge after dense retries")
-        target = np.minimum(target, limits - 8)
-        final_budget = np.where(target < demand, target, 4095).reshape(-1)
-        with prof.stage("final encode+pack retry (device)"):
-            host = jax.device_get(layer3.encode_final(
-                xr, rl, rs, bt, jnp.asarray(final_budget, jnp.float32),
-                cfg.version, cfg.sampling_frequency, payload_words=pw))
-        p23 = np.asarray(host["part2_3_length"]).astype(np.int64) \
-            .reshape(nch, G)
+        target = np.minimum(target, np.maximum(limits - 8, 64))
+        host, payload = run_final(target, pw,
+                                  "final encode+pack retry (device)")
+        p23 = host["part2_3_length"].astype(np.int64).reshape(nch, G)
 
-    payload = np.ascontiguousarray(host.pop("payload")).reshape(nch, G, -1)
+    return _marshal_and_assemble(cfg, host, payload, p23, nframes,
+                                 bits_per_frame, mean_bits, resv_max,
+                                 sfb_s, prof)
+
+
+def _marshal_and_assemble(cfg, host, payload, p23, nframes,
+                          bits_per_frame, mean_bits, resv_max, sfb_s,
+                          prof):
+    """Shared tail of the single-chip and multi-chip Layer III paths:
+    build the (nch, G, 19) side-info table from the device scalars and
+    run the native whole-clip assembler (reservoir.c:141-226 frame loop
+    + side-info emission + payload splice in one C++ call)."""
+    nch = cfg.nchannels
+    G = nframes * 2
+    payload = np.ascontiguousarray(payload)
     host = {k: np.asarray(v).astype(np.int32) for k, v in host.items()}
     bts_all = host["block_type"]
     prof_marshal = prof.stage("host marshal")

@@ -97,6 +97,63 @@ def analyze_demand(pcm_i16, version, sampling_frequency, sfreq_hz):
 
 
 @partial(jax.jit, static_argnames=("version", "sampling_frequency",
+                                   "sfreq_hz"))
+def analyze_demand_chunk(pcm_i16, halo4, fsm_init, version,
+                         sampling_frequency, sfreq_hz):
+    """Fixed-size chunk analysis + unconstrained demand encode.
+
+    The whole-clip dispatch (analyze_demand) compiles a program whose
+    shape -- and XLA compile time, superlinearly -- grows with clip
+    length.  This variant processes a FIXED number of granules C per
+    call, so ONE compiled program serves any clip length (and streams
+    from stdin); the encoder loops chunks and carries two tiny pieces
+    of state:
+
+      halo4: (nch, 4, 576) the 4 blocks preceding the chunk (raw int16
+        range, zeros at stream start).  Psy unpredictability and
+        pre-echo reach 2 granules back and each granule's FFT window
+        reaches 2 blocks back, so 2 in-batch warmup granules (rebuilt
+        from halo rows 2:4) plus 2 halo blocks (rows 0:2) make every
+        real granule's analysis exactly equal to a whole-clip batch.
+      fsm_init: (nch,) int32 block-type automaton state.
+
+    pcm_i16: (nch, C, 576) int16.  Returns (analysis dict with
+    (nch*C, ...) device arrays + fsm_state (nch,), demand
+    part2_3_length (nch*C,)).
+    """
+    nch = pcm_i16.shape[0]
+    blocks = pcm_i16.astype(jnp.float32)
+    anas = []
+    for ch in range(nch):
+        ext = jnp.concatenate([halo4[ch, 2:], blocks[ch]], axis=0)
+        anas.append(_analyze_chunk_body(ext, halo4[ch, :2], fsm_init[ch],
+                                        sfreq_hz))
+    fsm_state = jnp.stack([a.pop("fsm_state") for a in anas])
+    ana = {k: jnp.concatenate([a[k] for a in anas]) for k in anas[0]}
+    ana["fsm_state"] = fsm_state
+    C = blocks.shape[1]
+    budget = jnp.full(nch * C, 4095.0, jnp.float32)
+    state = _encode_body(ana["xr"], ana["ratio_l"], ana["ratio_s"],
+                         ana["block_type"], budget, version,
+                         sampling_frequency)
+    return ana, state["part2_3_length"]
+
+
+def _analyze_chunk_body(blocks_ext, halo2, fsm_init, sfreq_hz):
+    """One channel's chunk analysis: blocks_ext (C+2, 576) = 2 warmup
+    blocks + C real blocks; halo2 (2, 576) precedes the warmups."""
+    psy = jaxpsy.psycho_granules(blocks_ext, halo2, sfreq_hz,
+                                 warmup=2, fsm_init=fsm_init)
+    scaled = blocks_ext / 32768.0
+    sb = jaxdsp.subband_granules(scaled[2:], scaled[1, 64:])
+    sb_prev = jaxdsp.subband_granules(scaled[1][None], scaled[0, 64:])[0]
+    xr = jaxdsp.mdct_granules(sb, sb_prev, psy["block_type"])
+    return dict(xr=xr, pe=psy["pe"], ratio_l=psy["ratio_l"],
+                ratio_s=psy["ratio_s"], block_type=psy["block_type"],
+                fsm_state=psy["fsm_state"])
+
+
+@partial(jax.jit, static_argnames=("version", "sampling_frequency",
                                    "payload_words"))
 def encode_final(xr, ratio_l, ratio_s, block_type, budget, version,
                  sampling_frequency, payload_words=jaxbits.PAYLOAD_WORDS):

@@ -122,40 +122,69 @@ def _spectrum(frames, n, dtype):
     return re, im, energy
 
 
-def _fsm_blocktype(attack):
+def _fsm_blocktype(attack, init_state=None):
     """Block-type FSM as an associative scan over state maps.
 
     States: 0=NORM, 2=SHORT, 3=STOP (START never persists).
     map_attack[s] = SHORT ; map_calm[s] = STOP if s==SHORT else NORM.
     emit = attack ? (state==NORM ? START : SHORT) : state.
+
+    init_state: scalar int32 automaton state before attack[0] (NORM at
+    stream start); threading it between fixed-size chunks makes the
+    chunked encode's emitted block types identical to a whole-clip
+    scan.  Returns (emit, final_state).
     """
-    # encode maps over state domain [0,1,2,3]
-    m_attack = jnp.array([2, 2, 2, 2], jnp.int32)
-    m_calm = jnp.array([0, 0, 3, 0], jnp.int32)
-    maps = jnp.where(attack[:, None], m_attack[None, :], m_calm[None, :])
-
-    def compose(a, b):
-        # b after a:  (b.a)[s] = b[a[s]]
-        return jnp.take_along_axis(b, a, axis=-1)
-
-    prefix = jax.lax.associative_scan(compose, maps, axis=0)
-    # state BEFORE granule g = prefix[g-1] applied to init (NORM=0)
-    states = jnp.concatenate([jnp.zeros(1, jnp.int32), prefix[:-1, 0]])
+    maps = fsm_maps(attack)
+    prefix = jax.lax.associative_scan(fsm_compose, maps, axis=0)
+    if init_state is None:
+        init_state = jnp.zeros((), jnp.int32)
+    init_state = jnp.asarray(init_state, jnp.int32)
+    # state BEFORE granule g = prefix[g-1] applied to the init state
+    pre = jnp.take_along_axis(
+        prefix, jnp.broadcast_to(init_state, (prefix.shape[0], 1)), axis=1)[:, 0]
+    states = jnp.concatenate([init_state[None], pre[:-1]])
     emit = jnp.where(attack,
                      jnp.where(states == 0, 1, 2),
                      states)
-    return emit.astype(jnp.int32)
+    return emit.astype(jnp.int32), pre[-1]
 
 
-def psycho_granules(blocks, halo2, sfreq_hz, dtype=jnp.float32):
+def fsm_compose(a, b):
+    """Compose transition maps over state domain [0..3]: (b.a)[s] = b[a[s]]."""
+    return jnp.take_along_axis(b, a, axis=-1)
+
+
+def fsm_maps(attack):
+    """Per-granule transition maps (G, 4) of the block-type automaton.
+    Reducing them with fsm_compose yields a chunk's total map, so the
+    cross-chunk FSM state becomes an associative scan over tiny
+    4-vectors -- the multi-chip path all_gathers one map per chunk and
+    every device composes the global prefix locally."""
+    m_attack = jnp.array([2, 2, 2, 2], jnp.int32)
+    m_calm = jnp.array([0, 0, 3, 0], jnp.int32)
+    return jnp.where(attack[:, None], m_attack[None, :], m_calm[None, :])
+
+
+def psycho_granules(blocks, halo2, sfreq_hz, dtype=jnp.float32,
+                    warmup=0, fsm_init=None):
     """Model-2 analysis for a batch of granules of one channel.
 
     blocks: (G, 576) raw PCM sample values (int16 range, as float).
     halo2: (2, 576) preceding blocks (zeros at stream start).
+    warmup: static int -- the first `warmup` granules of `blocks` are
+      history-only (their FFT spectra and pre-echo nb feed the real
+      granules' unpredictability/threshold chains, which reach 2
+      granules back); their own outputs are dropped.  With warmup=2 and
+      the 4 preceding blocks supplied (2 as warmup rows of `blocks`, 2
+      as halo2), a fixed-size chunk computes exactly what a whole-clip
+      batch would.
+    fsm_init: scalar int32 block-type automaton state carried from the
+      previous chunk (None = NORM, stream start).
     Returns per-granule *computed* quantities (no emission delay --
     the model applies the delay/staleness when assembling):
-      pe (G,), ratio_l (G,21), ratio_s (G,12,3), attack (G,) bool,
-      block_type (G,) emitted (delayed FSM output).
+      pe (G-warmup,), ratio_l (G-warmup,21), ratio_s (G-warmup,12,3),
+      attack (G-warmup,) bool, block_type (G-warmup,) emitted (FSM
+      output), fsm_state () carry for the next chunk.
     """
     M = _psy_mats(float(sfreq_hz))
     P = M["P"]
@@ -165,10 +194,12 @@ def psycho_granules(blocks, halo2, sfreq_hz, dtype=jnp.float32):
     # TPU DEFAULT matmul precision is bf16; the DFT/partition/spreading
     # matmuls feed threshold decisions and need true f32 accumulation
     with jax.default_matmul_precision("float32"):
-        return _psycho_granules_body(blocks, halo2, M, P, dtype)
+        return _psycho_granules_body(blocks, halo2, M, P, dtype,
+                                     warmup, fsm_init)
 
 
-def _psycho_granules_body(blocks, halo2, M, P, dtype):
+def _psycho_granules_body(blocks, halo2, M, P, dtype, warmup=0,
+                          fsm_init=None):
     frames_l = _frames_long(blocks, halo2) * jnp.asarray(_hann(1024), dtype)
     re, im, energy = _spectrum(frames_l, 1024, dtype)        # (G, 513)
     frames_s = _frames_short(blocks, halo2) * jnp.asarray(_hann(256), dtype)
@@ -234,9 +265,12 @@ def _psycho_granules_body(blocks, halo2, M, P, dtype):
     ratio_s = ratio_s.transpose(0, 2, 1)                     # (G, 12, 3)
 
     attack = pe >= SWITCH_PE
-    block_type = _fsm_blocktype(attack)
+    if warmup:
+        pe, ratio_l, ratio_s, attack = (x[warmup:] for x in
+                                        (pe, ratio_l, ratio_s, attack))
+    block_type, fsm_state = _fsm_blocktype(attack, fsm_init)
     return dict(pe=pe, ratio_l=ratio_l, ratio_s=ratio_s, attack=attack,
-                block_type=block_type)
+                block_type=block_type, fsm_state=fsm_state)
 
 
 def _unpredictability(re0, im0, r0, re1, im1, r1, re2, im2, r2):
