@@ -57,6 +57,36 @@ def encode_header(cfg, padding):
     ]
 
 
+CRC16_POLYNOMIAL = 0x8005
+
+
+def _update_crc16(data, length, crc):
+    """common.c:1311-1324 bitwise CRC-16 update."""
+    masking = 1 << length
+    while True:
+        masking >>= 1
+        if not masking:
+            break
+        carry = crc & 0x8000
+        crc = (crc << 1) & 0xFFFF
+        if (not carry) != (not (data & masking)):
+            crc ^= CRC16_POLYNOMIAL
+    return crc
+
+
+def insert_crc16(si):
+    """ISO 11172-3 Layer III error protection: CRC-16 (init 0xffff,
+    poly 0x8005, common.c:1251-1324) over header bits 16..31 (si[4:13])
+    plus the whole side info (si[13:]), inserted after the header.
+    Deliberate improvement over the reference, which accounts the 16
+    bits (musicin.c:723) but emits a never-computed static 0
+    (l3bitstream.c:312)."""
+    crc = 0xFFFF
+    for v, l in si[4:]:
+        crc = _update_crc16(int(v), int(l), crc)
+    return si[:13] + [(crc, 16)] + si[13:]
+
+
 def encode_side_info(cfg, side):
     """Side info elements after the header (l3bitstream.c:344-456).
 

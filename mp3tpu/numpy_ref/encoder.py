@@ -178,6 +178,8 @@ def encode_layer3(pcm, cfg: EncoderConfig, return_debug=False):
         side = dict(main_data_begin=main_data_begin,
                     private_bits=cfg.private_bits, scfsi=scfsi, granules=gis)
         si += BS.encode_side_info(cfg, side)
+        if cfg.error_protection:
+            si = BS.insert_crc16(si)
         main = []
         for gr in range(mode_gr):
             for ch in range(nch):

@@ -56,6 +56,33 @@ struct GranuleSide {
   int ts[3], r0, r1, preflag, scalefac_scale, c1ts, part2, a1, a2, count1;
 };
 
+constexpr uint32_t kCrc16Poly = 0x8005;
+
+void update_crc(uint32_t data, int length, uint32_t& crc) {
+  // common.c:1311-1324 bitwise CRC-16
+  uint32_t masking = 1u << length;
+  while ((masking >>= 1)) {
+    uint32_t carry = crc & 0x8000;
+    crc <<= 1;
+    if (!carry != !(data & masking)) crc ^= kCrc16Poly;
+  }
+  crc &= 0xffff;
+}
+
+void insert_crc16(std::vector<Element>& si) {
+  // ISO 11172-3 Layer III error protection: CRC-16 (init 0xffff,
+  // poly 0x8005, per common.c:1251-1324) over header bits 16..31
+  // (si entries 4..12) plus the whole side info (entries 13..),
+  // emitted as a 16-bit word right after the header.  The reference
+  // accounts these 16 bits (musicin.c:723) but never computes the
+  // checksum -- l3bitstream.c:312 emits a static 0.  We emit the
+  // real value so '-l 3 -e' streams verify.
+  uint32_t crc = 0xffff;
+  for (size_t i = 4; i < si.size(); ++i)
+    update_crc(si[i].value, si[i].length, crc);
+  si.insert(si.begin() + 13, {crc, 16});
+}
+
 struct Assembler {
   // config
   int version, layer, bitrate_index, sampling_frequency, mode, mode_ext;
@@ -277,6 +304,7 @@ int add_frame(Assembler* a, int bits_per_frame, int padding,
     si.push_back({(uint32_t)gs.scalefac_scale, 1});
     si.push_back({(uint32_t)gs.c1ts, 1});
   }
+  if (a->error_protection) insert_crc16(si);
   long si_bits = 0;
   for (auto& e : si) si_bits += e.length;
   rec.si_bits = static_cast<int>(si_bits);
@@ -458,6 +486,7 @@ void mp3bits_encode_clip_payload(void* h, long nframes, int bits_per_frame,
         si.push_back({(uint32_t)gs.scalefac_scale, 1});
         si.push_back({(uint32_t)gs.c1ts, 1});
       }
+    if (a->error_protection) insert_crc16(si);
     long si_bits = 0;
     for (auto& e : si) si_bits += e.length;
     rec.si_bits = static_cast<int>(si_bits);
