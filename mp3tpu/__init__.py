@@ -16,6 +16,11 @@ def _enable_compile_cache():
                           os.path.expanduser("~/.cache/mp3tpu/xla"))
     if path in ("0", ""):
         return
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # XLA:CPU AOT cache entries are machine-feature-pinned and can
+        # SIGILL when loaded under a different feature detection pass;
+        # CPU runs (tests, driver dryrun) skip the persistent cache.
+        return
     try:
         import jax
 

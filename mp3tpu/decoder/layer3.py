@@ -88,16 +88,27 @@ def _parse_header(data, i):
                 mode=mode)
 
 
-def _parse_side_info(br, nch):
-    si = dict(main_data_begin=br.get(9), private=br.get(3 if nch == 2 else 5),
-              scfsi=[[br.get(1) for _ in range(4)] for _ in range(nch)],
-              gr=[])
+def _parse_side_info(br, nch, version=1):
+    """Side info for MPEG-1 (two granules, 9-bit back-pointer, scfsi)
+    or MPEG-2 LSF (one granule, 8-bit back-pointer, 9-bit
+    scalefac_compress, no scfsi/preflag bits; IS 13818-3 2.4.1.7)."""
+    mpeg1 = version == 1
+    if mpeg1:
+        si = dict(main_data_begin=br.get(9),
+                  private=br.get(3 if nch == 2 else 5),
+                  scfsi=[[br.get(1) for _ in range(4)] for _ in range(nch)],
+                  gr=[])
+    else:
+        si = dict(main_data_begin=br.get(8),
+                  private=br.get(2 if nch == 2 else 1),
+                  scfsi=[[0] * 4 for _ in range(nch)], gr=[])
     # note scfsi loop order: per channel 4 bands (l3bitstream.c:362-367)
-    for g in range(2):
+    for g in range(2 if mpeg1 else 1):
         chs = []
         for ch in range(nch):
             gi = dict(part2_3_length=br.get(12), big_values=br.get(9),
-                      global_gain=br.get(8), scalefac_compress=br.get(4),
+                      global_gain=br.get(8),
+                      scalefac_compress=br.get(4 if mpeg1 else 9),
                       window_switching_flag=br.get(1))
             if gi["window_switching_flag"]:
                 gi["block_type"] = br.get(2)
@@ -113,7 +124,11 @@ def _parse_side_info(br, nch):
                 gi["subblock_gain"] = [0, 0, 0]
                 gi["region0_count"] = br.get(4)
                 gi["region1_count"] = br.get(3)
-            gi["preflag"] = br.get(1)
+            if mpeg1:
+                gi["preflag"] = br.get(1)
+            else:
+                # LSF: preflag is implied by the scalefac_compress range
+                gi["preflag"] = 1 if gi["scalefac_compress"] >= 500 else 0
             gi["scalefac_scale"] = br.get(1)
             gi["count1table_select"] = br.get(1)
             chs.append(gi)
@@ -145,6 +160,54 @@ def _decode_scalefacs(br, gi, gr, scfsi, prev):
             else:
                 for sfb in range(s, e):
                     sf_l[sfb] = br.get(sl)
+    return sf_l, sf_s
+
+
+def _decode_scalefacs_lsf(br, gi):
+    """MPEG-2 LSF scalefactors (IS 13818-3 2.4.3.2): four slen values
+    and an sfb partition derived from the 9-bit scalefac_compress."""
+    sc = gi["scalefac_compress"]
+    if sc < 400:
+        table_number = 0
+        slen = [(sc >> 4) // 5, (sc >> 4) % 5, (sc & 15) >> 2, sc & 3]
+    elif sc < 500:
+        s = sc - 400
+        table_number = 1
+        slen = [(s >> 2) // 5, (s >> 2) % 5, s & 3, 0]
+    else:
+        s = sc - 500
+        table_number = 2
+        slen = [s // 3, s % 3, 0, 0]
+    short = gi["window_switching_flag"] and gi["block_type"] == 2
+    mixed = short and gi["mixed_block_flag"]
+    row = 2 if mixed else (1 if short else 0)
+    part = mpeg.NR_OF_SFB_BLOCK[table_number][row]
+    sf_l = np.zeros(22, np.int32)
+    sf_s = np.zeros((13, 3), np.int32)
+    if short and not mixed:
+        sfb = 0
+        for p in range(4):
+            for _ in range(int(part[p]) // 3):
+                for w in range(3):
+                    sf_s[sfb, w] = br.get(slen[p])
+                sfb += 1
+    elif mixed:
+        sfb = 0
+        for _ in range(int(part[0])):
+            sf_l[sfb] = br.get(slen[0])
+            sfb += 1
+        sfb = 0
+        for p in range(1, 4):
+            for _ in range(int(part[p]) // 3):
+                for w in range(3):
+                    sf_s[sfb, w] = br.get(slen[p])
+                sfb += 1
+    else:
+        sfb = 0
+        for p in range(4):
+            for _ in range(int(part[p])):
+                sf_l[sfb] = br.get(slen[p])
+                sfb += 1
     return sf_l, sf_s
 
 
@@ -314,17 +377,20 @@ class _Synth:
 
 
 def decode_mp3(data):
-    """Decode an MPEG-1 Layer III stream -> (pcm float (n, nch), rate)."""
+    """Decode an MPEG-1 or MPEG-2 LSF Layer III stream ->
+    (pcm float (n, nch), rate)."""
     data = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) else data
     i = 0
     hdr0 = _parse_header(data, 0)
-    assert hdr0 and hdr0["version"] == 1 and hdr0["layer"] == 3
+    assert hdr0 and hdr0["layer"] == 3
+    version = hdr0["version"]
+    mode_gr = 2 if version == 1 else 1
     nch = 1 if hdr0["mode"] == mpeg.MODE_MONO else 2
     sfidx = hdr0["sampling_frequency"]
-    rate = int(mpeg.S_FREQ_KHZ[1][sfidx] * 1000)
-    sfb_l = mpeg.sfb_long(1, sfidx)
-    sfb_s = mpeg.sfb_short(1, sfidx)
-    kbps = int(mpeg.BITRATE_KBPS[1][2][hdr0["bitrate_index"]])
+    rate = int(mpeg.S_FREQ_KHZ[version][sfidx] * 1000)
+    sfb_l = mpeg.sfb_long(version, sfidx)
+    sfb_s = mpeg.sfb_short(version, sfidx)
+    kbps = int(mpeg.BITRATE_KBPS[version][2][hdr0["bitrate_index"]])
 
     main_data = bytearray()
     frames = []
@@ -332,7 +398,8 @@ def decode_mp3(data):
         hdr = _parse_header(data, i)
         if hdr is None:
             break
-        frame_size = 144000 * kbps // rate + hdr["padding"]
+        frame_size = (72000 if version == 0 else 144000) * kbps // rate \
+            + hdr["padding"]
         raw = data[i: i + frame_size]
         if len(raw) < frame_size:
             break
@@ -340,7 +407,7 @@ def decode_mp3(data):
         br.pos = 32
         if hdr["protection"]:
             br.get(16)
-        si = _parse_side_info(br, nch)
+        si = _parse_side_info(br, nch, version)
         side_bytes = br.pos // 8
         frames.append((si, len(main_data)))
         main_data += bytes(raw[side_bytes:frame_size].tobytes()
@@ -358,12 +425,15 @@ def decode_mp3(data):
             continue  # missing reservoir data at stream start
         br = BitReader(main_data)
         br.pos = start * 8
-        for gr in range(2):
+        for gr in range(mode_gr):
             for ch in range(nch):
                 gi = si["gr"][gr][ch]
                 part2_start = br.pos
-                sf_l, sf_s = _decode_scalefacs(
-                    br, gi, gr, si["scfsi"][ch], [prev_sf[ch]] if prev_sf[ch] is not None else [np.zeros(22, np.int32)])
+                if version == 1:
+                    sf_l, sf_s = _decode_scalefacs(
+                        br, gi, gr, si["scfsi"][ch], [prev_sf[ch]] if prev_sf[ch] is not None else [np.zeros(22, np.int32)])
+                else:
+                    sf_l, sf_s = _decode_scalefacs_lsf(br, gi)
                 if gr == 0:
                     prev_sf[ch] = sf_l
                 ix = _decode_spectrum(br, gi, sfb_l, sfb_s, part2_start)

@@ -54,17 +54,18 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
 
     prof = prof if prof is not None else profiling.from_env()
     cfg.finalize()
-    assert cfg.layer == 3 and cfg.version == mpeg.MPEG1
+    assert cfg.layer == 3
     pcm = np.atleast_2d(np.asarray(pcm, np.float32))
     if pcm.shape[0] > pcm.shape[1]:
         pcm = pcm.T
     nch = cfg.nchannels
     assert pcm.shape[0] == nch
     spf = cfg.samples_per_frame
+    mode_gr = cfg.mode_gr
     nframes = int(np.ceil(pcm.shape[1] / spf))
     total = nframes * spf
     pcm = np.pad(pcm, ((0, 0), (0, total - pcm.shape[1])))
-    G = nframes * 2
+    G = nframes * mode_gr
     sfreq_hz = float(mpeg.S_FREQ_KHZ[cfg.version][cfg.sampling_frequency]) * 1000.0
     sfb_s = mpeg.sfb_short(cfg.version, cfg.sampling_frequency)
 
@@ -95,6 +96,17 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
             anas.append(ana)
         small = jax.device_get([(a["pe"], a["p23"]) for a in anas])
 
+    # scfsi flags (MPEG-1): computed on device from the analysis
+    # (loop.c:615-720 conditions); the same flags drive the paired
+    # final encode and the side-info emission
+    if mode_gr == 2:
+        scfsi_chunks = jax.device_get([a["scfsi"] for a in anas])
+        scfsi_frames = np.concatenate(
+            [s.reshape(nch, C // 2, 4) for s in scfsi_chunks],
+            axis=1)[:, :G // 2]                       # (nch, F, 4)
+    else:
+        scfsi_frames = np.zeros((nch, nframes, 4), np.int32)
+
     def _cat(parts):
         """chunk-major (nch*C, ...) parts -> (nch, G, ...) real granules."""
         parts = [np.asarray(p) for p in parts]
@@ -108,8 +120,9 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
     whole_spf, _ = cfg.slots_per_frame()
     bits_per_frame = 8 * whole_spf
     sideinfo_len = mpeg.sideinfo_bits(cfg.version, nch, cfg.error_protection)
-    mean_bits = (bits_per_frame - sideinfo_len) // 2
-    resv_limit = 4088
+    mean_bits = (bits_per_frame - sideinfo_len) // mode_gr
+    # main_data_begin is 9 bits in MPEG-1, 8 in LSF (reservoir.c:53-62)
+    resv_limit = 4088 if mode_gr == 2 else 2040
     resv_max = min(max(0, 7680 - bits_per_frame), resv_limit)
 
     demand = p23.copy()
@@ -128,7 +141,7 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
     # stuffing drain, exactly like the reference's own leftovers.
     target = np.minimum(
         demand, resv_scan(pe, demand, None, None, nframes, nch,
-                          mean_bits, resv_max))
+                          mean_bits, resv_max, mode_gr))
 
     # ---- dense encode at the final budgets, chunk by chunk;
     # unconstrained granules rerun at 4095 and deterministically
@@ -144,7 +157,8 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
             hosts = [layer3.encode_final(
                 a["xr"], a["ratio_l"], a["ratio_s"], a["block_type"],
                 jnp.asarray(budget[:, k * C:(k + 1) * C].reshape(-1)),
-                cfg.version, cfg.sampling_frequency, payload_words=pw)
+                cfg.version, cfg.sampling_frequency, payload_words=pw,
+                scfsi=a.get("scfsi"), nch=nch)
                 for k, a in enumerate(anas)]
             hosts = jax.device_get(hosts)
         host = {}
@@ -178,7 +192,8 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
         host, payload = run_final(target, pw, "final re-bucket (device)")
         p23 = host["part2_3_length"].astype(np.int64).reshape(nch, G)
     for _retry in range(3):
-        bad, limits = resv_guard(p23, nframes, nch, mean_bits, resv_max)
+        bad, limits = resv_guard(p23, nframes, nch, mean_bits, resv_max,
+                                 mode_gr)
         if not bad:
             break
         if _retry == 2:
@@ -191,18 +206,18 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
 
     return _marshal_and_assemble(cfg, host, payload, p23, nframes,
                                  bits_per_frame, mean_bits, resv_max,
-                                 sfb_s, prof)
+                                 sfb_s, prof, scfsi=scfsi_frames)
 
 
 def _marshal_and_assemble(cfg, host, payload, p23, nframes,
                           bits_per_frame, mean_bits, resv_max, sfb_s,
-                          prof):
+                          prof, scfsi=None):
     """Shared tail of the single-chip and multi-chip Layer III paths:
     build the (nch, G, 19) side-info table from the device scalars and
     run the native whole-clip assembler (reservoir.c:141-226 frame loop
     + side-info emission + payload splice in one C++ call)."""
     nch = cfg.nchannels
-    G = nframes * 2
+    G = nframes * cfg.mode_gr
     payload = np.ascontiguousarray(payload)
     host = {k: np.asarray(v).astype(np.int32) for k, v in host.items()}
     bts_all = host["block_type"]
@@ -236,9 +251,13 @@ def _marshal_and_assemble(cfg, host, payload, p23, nframes,
     from .runtime.bitstream import NativeAssembler
     with prof.stage("native assembly"):
         asm = NativeAssembler(cfg, np.asarray(sfb_s, np.int32))
-        scfsi = np.zeros((2, 4), np.int32)
+        if scfsi is None:
+            scfsi = np.zeros((nch, nframes, 4), np.int32)
+        # native layout: (nframes, nch, 4)
+        scfsi_fm = np.ascontiguousarray(
+            np.asarray(scfsi, np.int32).transpose(1, 0, 2))
         asm.encode_clip_payload(nframes, bits_per_frame, mean_bits,
-                                resv_max, np.ascontiguousarray(scfsi),
+                                resv_max, scfsi_fm,
                                 np.ascontiguousarray(side), payload)
         out = asm.finish()
     return out

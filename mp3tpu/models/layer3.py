@@ -28,9 +28,53 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import jaxbits, jaxdsp, jaxloop, jaxpsy
 from ..tables import mpeg
+
+#: sfb -> scfsi band map (loop.c scfsi_band_long 0,6,11,16,21)
+_BAND_OF_SFB = np.repeat(np.arange(4), np.diff(mpeg.SCFSI_BAND_LONG))
+
+
+def _scfsi_flags(xr, ratio_l, ratio_s, block_type, ST):
+    """scfsi decision for one channel's granule batch (loop.c:615-720
+    semantics with the intended per-channel indexing, not the
+    reference's transposed-index quirk at loop.c:676).
+
+    xr (C, 576): granule pairs are (2f, 2f+1).  Returns (C//2, 4)
+    int32 flags: both granules non-short, non-silent, spectral-energy
+    and allowed-distortion profiles within the reference's similarity
+    thresholds per scfsi band.
+    """
+    C = xr.shape[0]
+    xr_abs = jnp.abs(xr)
+    xmin_l, _ = jaxloop.calc_xmin(xr_abs, ratio_l, ratio_s, ST)
+    oh_l = jnp.asarray(ST["oh_l"], xr.dtype)
+    en_sfb = (xr_abs * xr_abs) @ oh_l                     # (C, 21)
+    ln2 = float(np.log(2.0))
+    en = jnp.where(en_sfb > 0,
+                   jnp.trunc(jnp.log(jnp.maximum(en_sfb, 1e-37)) / ln2),
+                   0.0)
+    xm = jnp.where(xmin_l > 0,
+                   jnp.trunc(jnp.log(jnp.maximum(xmin_l, 1e-37)) / ln2),
+                   0.0)
+    # reference scale: xr in int16 units; int(max|xr|) != 0
+    nonsilent = jnp.max(xr_abs, axis=1) * 32768.0 >= 1.0
+    long_ok = block_type != 2
+
+    en0, en1 = en[0::2], en[1::2]
+    xm0, xm1 = xm[0::2], xm[1::2]
+    cond = (nonsilent[0::2] & nonsilent[1::2]
+            & long_ok[0::2] & long_ok[1::2]
+            & (jnp.sum(jnp.abs(en0 - en1), axis=1) < 100.0))
+    band_oh = jnp.asarray(
+        (np.arange(4)[None, :] == _BAND_OF_SFB[:, None]).astype(np.float32),
+        xr.dtype)                                          # (21, 4)
+    den = jnp.abs(en0 - en1) @ band_oh                     # (C/2, 4)
+    dxm = jnp.abs(xm0 - xm1) @ band_oh
+    flags = cond[:, None] & (den < 10.0) & (dxm < 10.0)
+    return flags.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("version", "sampling_frequency", "sfreq_hz"))
@@ -123,14 +167,23 @@ def analyze_demand_chunk(pcm_i16, halo4, fsm_init, version,
     """
     nch = pcm_i16.shape[0]
     blocks = pcm_i16.astype(jnp.float32)
+    ST = jaxloop._static(version, sampling_frequency)
     anas = []
     for ch in range(nch):
         ext = jnp.concatenate([halo4[ch, 2:], blocks[ch]], axis=0)
-        anas.append(_analyze_chunk_body(ext, halo4[ch, :2], fsm_init[ch],
-                                        sfreq_hz))
+        a = _analyze_chunk_body(ext, halo4[ch, :2], fsm_init[ch],
+                                sfreq_hz)
+        if not ST["lsf"]:
+            a["scfsi"] = _scfsi_flags(a["xr"], a["ratio_l"],
+                                      a["ratio_s"], a["block_type"], ST)
+        anas.append(a)
     fsm_state = jnp.stack([a.pop("fsm_state") for a in anas])
+    scfsi = (jnp.stack([a.pop("scfsi") for a in anas])
+             if not ST["lsf"] else None)
     ana = {k: jnp.concatenate([a[k] for a in anas]) for k in anas[0]}
     ana["fsm_state"] = fsm_state
+    if scfsi is not None:
+        ana["scfsi"] = scfsi                       # (nch, C//2, 4)
     C = blocks.shape[1]
     budget = jnp.full(nch * C, 4095.0, jnp.float32)
     state = _encode_body(ana["xr"], ana["ratio_l"], ana["ratio_s"],
@@ -154,24 +207,74 @@ def _analyze_chunk_body(blocks_ext, halo2, fsm_init, sfreq_hz):
 
 
 @partial(jax.jit, static_argnames=("version", "sampling_frequency",
-                                   "payload_words"))
+                                   "payload_words", "nch"))
 def encode_final(xr, ratio_l, ratio_s, block_type, budget, version,
-                 sampling_frequency, payload_words=jaxbits.PAYLOAD_WORDS):
+                 sampling_frequency, payload_words=jaxbits.PAYLOAD_WORDS,
+                 scfsi=None, nch=1):
     """One dense full-batch encode at the final budgets.  The entire
     main_data (scalefactors + Huffman codewords) is emitted and
     bit-packed ON DEVICE (ops/jaxbits); only the entropy-coded payload
     plus the side-info scalars cross the host link -- the host weave
-    (native/mp3bits.cpp) never sees raw spectra."""
+    (native/mp3bits.cpp) never sees raw spectra.
+
+    scfsi (nch, C//2, 4) int32 (MPEG-1 only): granule pairs whose
+    marked scalefactor bands are transmitted once -- granule 1 reuses
+    granule 0's values (loop.c:615-730).  The pair coupling runs
+    INSIDE this dispatch: granule-0 lanes encode first, granule-1
+    lanes encode with those bands' scalefactors fixed and their bits
+    reclaimed for the spectrum.
+    """
     ST = jaxloop._static(version, sampling_frequency)
-    is_short_block = block_type != mpeg.NORM_TYPE
-    out = jaxloop.outer_loop(xr, budget, ratio_l, ratio_s,
-                             is_short_block, block_type, ST)
-    ix_signed = jnp.where((xr < 0) & (out["ix"] > 0), -out["ix"], out["ix"])
-    is_short = is_short_block & (block_type == 2)
-    payload, _ = jaxbits.granule_payload(out, ix_signed, is_short, ST,
-                                         payload_words)
-    packed = pack_state(out, block_type)
-    packed["payload"] = payload
+
+    def encode(xr, budget, rl, rs, bt, sf_fix_mask=None, sf_fix_val=None,
+               skip=None):
+        is_short_block = bt != mpeg.NORM_TYPE
+        out = jaxloop.outer_loop(xr, budget, rl, rs, is_short_block, bt,
+                                 ST, sf_fix_mask=sf_fix_mask,
+                                 sf_fix_val=sf_fix_val)
+        ix_signed = jnp.where((xr < 0) & (out["ix"] > 0), -out["ix"],
+                              out["ix"])
+        is_short = is_short_block & (bt == 2)
+        payload, _ = jaxbits.granule_payload(out, ix_signed, is_short,
+                                             ST, payload_words,
+                                             skip_mask=skip)
+        return out, payload
+
+    if scfsi is None or ST["lsf"]:
+        out, payload = encode(xr, budget, ratio_l, ratio_s, block_type)
+        packed = pack_state(out, block_type)
+        packed["payload"] = payload
+        return packed
+
+    N = xr.shape[0]
+    C = N // nch
+    M = nch * (C // 2)
+
+    def split(a):
+        a2 = a.reshape((nch, C) + a.shape[1:])
+        return (a2[:, 0::2].reshape((M,) + a.shape[1:]),
+                a2[:, 1::2].reshape((M,) + a.shape[1:]))
+
+    xr0, xr1 = split(xr)
+    rl0, rl1 = split(ratio_l)
+    rs0, rs1 = split(ratio_s)
+    bt0, bt1 = split(block_type)
+    b0, b1 = split(budget)
+    out0, payload0 = encode(xr0, b0, rl0, rs0, bt0)
+    mask = (scfsi.reshape(M, 4).astype(bool))[:, _BAND_OF_SFB]  # (M, 21)
+    out1, payload1 = encode(xr1, b1, rl1, rs1, bt1,
+                            sf_fix_mask=mask, sf_fix_val=out0["sf_l"],
+                            skip=mask)
+
+    def merge(a0, a1):
+        s = a0.shape[1:]
+        a = jnp.stack([a0.reshape((nch, C // 2) + s),
+                       a1.reshape((nch, C // 2) + s)], axis=2)
+        return a.reshape((N,) + s)
+
+    state = {k: merge(out0[k], out1[k]) for k in out0}
+    packed = pack_state(state, merge(bt0, bt1))
+    packed["payload"] = merge(payload0, payload1)
     return packed
 
 

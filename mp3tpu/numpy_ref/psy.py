@@ -114,9 +114,8 @@ def psycho_granules(samples, sfreq_hz):
 
     # --- spreading convolution.  ecb is float32 (rounds every step);
     # ctb is double (sprdngf1/2 signatures, l3psy.c:1062-1084).
-    sfreq_idx = {32000.0: 0, 44100.0: 1, 48000.0: 2}[float(sfreq_hz)]
     s3 = P["s3_l"]
-    if sfreq_idx == 1:
+    if float(sfreq_hz) == 44100.0:
         s3 = s3 * P["s3_mask"]  # sparse bounds, l3psy.c:591-593
     ecb32 = np.zeros((G, CBANDS), np.float32)
     ctb = np.zeros((G, CBANDS))

@@ -43,13 +43,14 @@ def _u32(x):
     return x.astype(jnp.uint32)
 
 
-def scalefac_elements(sf_l, sf_s, compress, is_short):
+def scalefac_elements(sf_l, sf_s, compress, is_short, skip_mask=None):
     """Scalefactor (value, length) elements, 36 slots per granule.
 
     Short blocks (l3bitstream.c:240-254): sfb 0..5 x3 windows at slen1
     then sfb 6..11 x3 at slen2 — exactly 36 slots in (sfb, window)
-    order.  Long blocks (:221-238, scfsi = 0 as the fast path sends):
-    sfb 0..10 at slen1, 11..20 at slen2 in the first 21 slots, rest 0.
+    order.  Long blocks (:221-238): sfb 0..10 at slen1, 11..20 at
+    slen2 in the first 21 slots, rest 0.  skip_mask (G, 21): long sfbs
+    NOT transmitted (scfsi bands, l3bitstream.c:228-236).
     """
     G = sf_l.shape[0]
     slen1 = jnp.asarray(_SLEN1)[compress]          # (G,)
@@ -63,6 +64,49 @@ def scalefac_elements(sf_l, sf_s, compress, is_short):
     val_l = jnp.pad(sf_l, ((0, 0), (0, 15)))
     len_l = jnp.where(j[None, :] < 11, slen1[:, None],
                       jnp.where(j[None, :] < 21, slen2[:, None], 0))
+    if skip_mask is not None:
+        skip36 = jnp.pad(skip_mask, ((0, 0), (0, 15)))
+        len_l = jnp.where(skip36, 0, len_l)
+    values = jnp.where(is_short[:, None], val_s, val_l)
+    lengths = jnp.where(is_short[:, None], len_s, len_l)
+    return _u32(values), lengths.astype(jnp.int32)
+
+
+_P_LONG_T0 = np.repeat(np.arange(4), mpeg.NR_OF_SFB_BLOCK[0][0])  # (21,)
+_P_LONG_T2 = np.repeat(np.arange(4), mpeg.NR_OF_SFB_BLOCK[2][0])  # (21,)
+_P_SHORT_T0 = np.repeat(np.arange(4), mpeg.NR_OF_SFB_BLOCK[0][1] // 3)
+_P_SHORT_T2 = np.repeat(np.arange(4), mpeg.NR_OF_SFB_BLOCK[2][1] // 3)
+
+
+def scalefac_elements_lsf(sf_l, sf_s, compress, is_short):
+    """MPEG-2 LSF scalefactor elements, 36 slots per granule.
+
+    The four slen values and the sfb partition are derived from the
+    9-bit scalefac_compress exactly as a decoder does (IS 13818-3
+    2.4.3.2); table_number 2 (preflag) is implied by compress >= 500.
+    Long: sfb 0..20 in partition order; short: (sfb, window) slots.
+    """
+    G = sf_l.shape[0]
+    sc = compress.astype(jnp.int32)
+    pre = sc >= 500
+    slen_t0 = jnp.stack([(sc >> 4) // 5, (sc >> 4) % 5,
+                         (sc & 15) >> 2, sc & 3], axis=1)
+    s2 = jnp.maximum(sc - 500, 0)
+    slen_t2 = jnp.stack([s2 // 3, s2 % 3, s2 * 0, s2 * 0], axis=1)
+    slen = jnp.where(pre[:, None], slen_t2, slen_t0)      # (G, 4)
+
+    pl = jnp.where(pre[:, None], jnp.asarray(_P_LONG_T2)[None],
+                   jnp.asarray(_P_LONG_T0)[None])         # (G, 21)
+    len_l = jnp.take_along_axis(slen, pl, axis=1)         # (G, 21)
+    len_l = jnp.pad(len_l, ((0, 0), (0, 15)))
+    ps = jnp.where(pre[:, None], jnp.asarray(_P_SHORT_T2)[None],
+                   jnp.asarray(_P_SHORT_T0)[None])        # (G, 12)
+    j = jnp.arange(36)
+    len_s = jnp.take_along_axis(slen, jnp.take_along_axis(
+        ps, jnp.broadcast_to(j[None, :] // 3, (G, 36)), axis=1), axis=1)
+
+    val_l = jnp.pad(sf_l, ((0, 0), (0, 15)))
+    val_s = sf_s.reshape(G, 36)
     values = jnp.where(is_short[:, None], val_s, val_l)
     lengths = jnp.where(is_short[:, None], len_s, len_l)
     return _u32(values), lengths.astype(jnp.int32)
@@ -163,12 +207,17 @@ def count1_elements(ix_signed, big_values, count1, c1ts):
     return _u32(code), hl.astype(jnp.int32)
 
 
-def granule_elements(state, ix_signed, is_short, ST):
+def granule_elements(state, ix_signed, is_short, ST, skip_mask=None):
     """Full main_data element stream for a batch of granules:
     36 scalefactor slots + 576 pair slots + 144 quad slots = 756.
     state: the outer_loop output dict."""
-    sv, sl = scalefac_elements(state["sf_l"], state["sf_s"],
-                               state["compress"], is_short)
+    if ST.get("lsf"):
+        sv, sl = scalefac_elements_lsf(state["sf_l"], state["sf_s"],
+                                       state["compress"], is_short)
+    else:
+        sv, sl = scalefac_elements(state["sf_l"], state["sf_s"],
+                                   state["compress"], is_short,
+                                   skip_mask=skip_mask)
     pv, pl = pair_elements(ix_signed, state["a1"], state["a2"],
                            state["big_values"], state["table_select"],
                            is_short, ST)
@@ -242,13 +291,14 @@ def pack_elements(values, lengths, w_cap=PAYLOAD_WORDS):
 
 
 def granule_payload(state, ix_signed, is_short, ST,
-                    w_cap=PAYLOAD_WORDS):
+                    w_cap=PAYLOAD_WORDS, skip_mask=None):
     """Emit + pack a batch of granules' main_data.
 
     Returns (payload (G, w_cap) u32 MSB-first, nbits (G,)).  nbits
     equals part2_3_length by construction (stuffing is drained to the
     ancillary region by the host weave, never inside the granule)."""
-    values, lengths = granule_elements(state, ix_signed, is_short, ST)
+    values, lengths = granule_elements(state, ix_signed, is_short, ST,
+                                       skip_mask=skip_mask)
     return pack_elements(values, lengths, w_cap)
 
 

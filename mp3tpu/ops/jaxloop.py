@@ -63,7 +63,8 @@ def _static(version, sampling_frequency):
     # per-sfb amplification one-hot for xr updates
     return dict(sfb_l=np.asarray(sfb_l), sfb_s=np.asarray(sfb_s),
                 oh_l=oh_l, bw_l=bw_l, oh_s=oh_s, bw_s=bw_s,
-                perm_short=perm, r0_pairs_short=r0_pairs)
+                perm_short=perm, r0_pairs_short=r0_pairs,
+                lsf=(version != mpeg.MPEG1))
 
 
 # ---------------------------------------------------------------------------
@@ -341,9 +342,12 @@ def quantanf_init(xr_abs):
 # scalefactor bit accounting
 # ---------------------------------------------------------------------------
 
-def scale_bitcount(sf_l, sf_s, is_short):
+def scale_bitcount(sf_l, sf_s, is_short, skip_mask=None):
     """MPEG-1 scalefac_compress selection (loop.c:792-856).
-    Returns compress (G,), part2 (G,), overflow (G,)."""
+    skip_mask (G, 21): long sfbs whose scalefactors are NOT transmitted
+    (scfsi bands copied from granule 0; loop.c:731-790 excludes them
+    from part2_length).  Returns compress (G,), part2 (G,),
+    overflow (G,)."""
     max1_l = jnp.max(sf_l[:, :11], axis=1)
     max2_l = jnp.max(sf_l[:, 11:21], axis=1)
     max1_s = jnp.max(sf_s[:, :6, :], axis=(1, 2))
@@ -358,10 +362,64 @@ def scale_bitcount(sf_l, sf_s, is_short):
     overflow = ~jnp.any(fits, axis=1)
     slen1 = s1[k]
     slen2 = s2[k]
-    part2_l = 11 * slen1 + 10 * slen2
+    n1 = jnp.full_like(slen1, 11)
+    n2 = jnp.full_like(slen2, 10)
+    if skip_mask is not None:
+        n1 = n1 - jnp.sum(skip_mask[:, :11], axis=1)
+        n2 = n2 - jnp.sum(skip_mask[:, 11:21], axis=1)
+    part2_l = n1 * slen1 + n2 * slen2
     part2_s = 18 * slen1 + 18 * slen2
     part2 = jnp.where(is_short, part2_s, part2_l)
     return k.astype(jnp.int32), part2.astype(jnp.int32), overflow
+
+
+def scale_bitcount_lsf(sf_l, sf_s, is_short, preflag):
+    """MPEG-2 LSF slen/scalefac_compress selection (loop.c:871-993),
+    batched.  Non-intensity channels use table_number 0 (2 with
+    preflag); rows 0 (long) / 1 (short); no mixed blocks."""
+    G = sf_l.shape[0]
+
+    def pmax_long(parts):
+        outs, s = [], 0
+        for p in range(4):
+            e = s + int(parts[p])
+            outs.append(jnp.max(sf_l[:, s:e], axis=1) if e > s
+                        else jnp.zeros(G, sf_l.dtype))
+            s = e
+        return jnp.stack(outs, axis=1)
+
+    def pmax_short(parts):
+        outs, s = [], 0
+        for p in range(4):
+            e = s + int(parts[p]) // 3
+            outs.append(jnp.max(sf_s[:, s:e, :], axis=(1, 2)) if e > s
+                        else jnp.zeros(G, sf_s.dtype))
+            s = e
+        return jnp.stack(outs, axis=1)
+
+    NR = mpeg.NR_OF_SFB_BLOCK
+    pre = (preflag == 1)
+    m_t0 = jnp.where(is_short[:, None], pmax_short(NR[0][1]),
+                     pmax_long(NR[0][0]))
+    m_t2 = jnp.where(is_short[:, None], pmax_short(NR[2][1]),
+                     pmax_long(NR[2][0]))
+    max_sfac = jnp.where(pre[:, None], m_t2, m_t0)        # (G, 4)
+    maxtab = jnp.where(pre[:, None],
+                       jnp.asarray(mpeg.MAX_SFAC_TAB[2])[None, :],
+                       jnp.asarray(mpeg.MAX_SFAC_TAB[0])[None, :])
+    overflow = jnp.any(max_sfac > maxtab, axis=1)
+    slen = jnp.asarray(mpeg.LOG2_TAB)[jnp.clip(max_sfac, 0, 15)]
+    compress0 = (((slen[:, 0] * 5 + slen[:, 1]) << 4)
+                 + (slen[:, 2] << 2) + slen[:, 3])
+    compress2 = 500 + slen[:, 0] * 3 + slen[:, 1]
+    compress = jnp.where(pre, compress2, compress0)
+    slots_t0 = jnp.where(is_short[:, None], jnp.asarray(NR[0][1])[None],
+                         jnp.asarray(NR[0][0])[None])
+    slots_t2 = jnp.where(is_short[:, None], jnp.asarray(NR[2][1])[None],
+                         jnp.asarray(NR[2][0])[None])
+    slots = jnp.where(pre[:, None], slots_t2, slots_t0)
+    part2 = jnp.sum(slen * slots, axis=1)
+    return compress.astype(jnp.int32), part2.astype(jnp.int32), overflow
 
 
 # ---------------------------------------------------------------------------
@@ -474,7 +532,7 @@ _SQRT2_75 = np.sqrt(2.0) ** 0.75
 
 
 def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
-               ST, max_iter=10):
+               ST, max_iter=10, sf_fix_mask=None, sf_fix_val=None):
     # max_iter=10: decoded SNR on every quality fixture is unchanged
     # vs 24 (the last amplification rounds only juggle bits between
     # already-converged bands), and the whole batch pays for the
@@ -482,6 +540,11 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
     """Distortion-control loop (loop.c:415-558), batched & masked.
 
     xr: (G, 576) signed spectrum; budget: (G,) max_bits.
+    sf_fix_mask/sf_fix_val (G, 21): long sfbs whose scalefactors are
+    FIXED (scfsi: granule 1 reuses granule 0's values, loop.c:320-333
+    amp copy/prevent logic) -- the spectrum is pre-amplified by the
+    fixed values, amplification never touches those bands, and their
+    bits are excluded from part2 (they are not transmitted).
     Returns dict of per-granule coding decisions.
     """
     G = xr.shape[0]
@@ -499,10 +562,27 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
     oh_l = jnp.asarray(ST["oh_l"], xr.dtype)
     oh_s = jnp.asarray(ST["oh_s"], xr.dtype)
 
+    fixed = None
+    if sf_fix_mask is not None:
+        fixed = sf_fix_mask & (~is_short)[:, None]
+        fv = jnp.where(fixed, sf_fix_val, 0).astype(jnp.int32)
+        sf_l0 = sf_l0 + fv
+        # pre-amplify the spectrum by the fixed scalefactors
+        # (ifqstep = sqrt(2) at scalefac_scale 0)
+        gain = jnp.einsum("lb,gb->gl", oh_l,
+                          jnp.power(_SQRT2, fv.astype(xr.dtype)))
+        xr_abs = jnp.where((~is_short)[:, None], xr_abs * gain, xr_abs)
+        xmin_l = xmin_l * jnp.power(2.0, fv.astype(xr.dtype))
+
+    def sbc(sf_l, sf_s, preflag):
+        if ST["lsf"]:
+            return scale_bitcount_lsf(sf_l, sf_s, is_short, preflag)
+        return scale_bitcount(sf_l, sf_s, is_short, skip_mask=fixed)
+
     def iter_body(state):
         (xr_a, xr75, xmin_l, xmin_s, sf_l, sf_s, preflag, qss_prev, done,
          it, best) = state
-        compress, part2, overflow = scale_bitcount(sf_l, sf_s, is_short)
+        compress, part2, overflow = sbc(sf_l, sf_s, preflag)
         huff = jnp.maximum(budget - part2, 0)
         qss, bits, ix, c = search_walk(
             xr75, huff.astype(xr.dtype), qss_prev, is_short,
@@ -540,6 +620,8 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
 
         # amplify distorted bands by sqrt(2); xmin doubles accordingly
         over_l = (xfsf_l > xmin_l) & (~is_short)[:, None] & upd[:, None]
+        if fixed is not None:
+            over_l = over_l & ~fixed
         over_s = (xfsf_s > xmin_s) & is_short[:, None, None] & upd[:, None, None]
         sf_l = sf_l + over_l.astype(jnp.int32)
         sf_s = sf_s + over_s.astype(jnp.int32)
@@ -560,10 +642,12 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
 
         over_any = jnp.any(over_l, axis=1) | jnp.any(over_s, axis=(1, 2))
         qss_prev = qss  # warm start for the next iteration
+        amped_l = (sf_l[:, :21] > 0) if fixed is None \
+            else ((sf_l[:, :21] > 0) | fixed)
         all_amped = jnp.where(is_short,
                               jnp.all(sf_s > 0, axis=(1, 2)),
-                              jnp.all(sf_l[:, :21] > 0, axis=1))
-        _, _, overflow2 = scale_bitcount(sf_l, sf_s, is_short)
+                              jnp.all(amped_l, axis=1))
+        _, _, overflow2 = sbc(sf_l, sf_s, preflag)
         done = done | (~over_any) | all_amped | overflow2
         return (xr_a, xr75, xmin_l, xmin_s, sf_l, sf_s, preflag, qss_prev,
                 done, it + 1, best)

@@ -102,6 +102,12 @@ def _build_programs(mesh, nch, C, version, sampling_frequency, sfreq_hz,
         xr = jax.vmap(lambda b, h, t: _chunk_xr(b, h, t, nch))(
             bl_f32, halo4_l, bt)                     # (Kl, nch*C, 576)
 
+        # scfsi flags per chunk (pairs never straddle chunks: C even)
+        xr4 = xr.reshape(Kl, nch, C, 576)
+        scfsi = jax.vmap(jax.vmap(
+            lambda x, rl, rs, b: layer3._scfsi_flags(x, rl, rs, b, ST)))(
+            xr4, psy["ratio_l"], psy["ratio_s"], bt)  # (Kl,nch,C/2,4)
+
         # ---- unconstrained demand encode (budget 4095)
         N = Kl * nch * C
         rl = psy["ratio_l"].reshape(N, -1)
@@ -113,32 +119,62 @@ def _build_programs(mesh, nch, C, version, sampling_frequency, sfreq_hz,
             xr.reshape(N, 576), demand_budget, rl, rs,
             btf != mpeg.NORM_TYPE, btf, ST)
         return dict(xr=xr, ratio_l=psy["ratio_l"], ratio_s=psy["ratio_s"],
-                    block_type=bt, pe=psy["pe"],
+                    block_type=bt, pe=psy["pe"], scfsi=scfsi,
                     p23=out["part2_3_length"].reshape(Kl, nch, C))
 
     analyze = jax.jit(jax.shard_map(
         analyze_fn, mesh=mesh, in_specs=(spec, spec),
         out_specs=dict(xr=spec, ratio_l=spec, ratio_s=spec,
-                       block_type=spec, pe=spec, p23=spec)))
+                       block_type=spec, pe=spec, scfsi=spec, p23=spec)))
 
-    def final_fn(xr_l, rl_l, rs_l, bt_l, budget_l):
-        """(Kl, ...) sharded chunks -> final coding state + payload."""
+    def final_fn(xr_l, rl_l, rs_l, bt_l, budget_l, scfsi_l):
+        """(Kl, ...) sharded chunks -> final coding state + payload,
+        with the same in-dispatch scfsi pair coupling as the
+        single-chip encode_final (granule pairs are chunk-local)."""
         Kl = bt_l.shape[0]
         N = Kl * nch * C
-        xr = xr_l.reshape(N, 576)
-        bt = bt_l.reshape(N)
-        out = jaxloop.outer_loop(
-            xr, budget_l.reshape(N), rl_l.reshape(N, -1),
-            rs_l.reshape(N, 12, 3), bt != mpeg.NORM_TYPE, bt, ST)
-        ix_signed = jnp.where((xr < 0) & (out["ix"] > 0), -out["ix"],
-                              out["ix"])
-        is_short = (bt != mpeg.NORM_TYPE) & (bt == 2)
-        payload, _ = jaxbits.granule_payload(out, ix_signed, is_short,
-                                             ST, payload_words)
-        packed = layer3.pack_state(out, bt)
+        M = Kl * nch * (C // 2)
+
+        def split(a):
+            s = a.shape[3:]
+            a4 = a.reshape((Kl, nch, C) + s)
+            return (a4[:, :, 0::2].reshape((M,) + s),
+                    a4[:, :, 1::2].reshape((M,) + s))
+
+        xr0, xr1 = split(xr_l.reshape(Kl, nch, C, 576))
+        rl0, rl1 = split(rl_l.reshape(Kl, nch, C, 21))
+        rs0, rs1 = split(rs_l.reshape(Kl, nch, C, 12, 3))
+        bt0, bt1 = split(bt_l.reshape(Kl, nch, C))
+        b0, b1 = split(budget_l.reshape(Kl, nch, C))
+
+        def enc(xr, budget, rl, rs, bt, mask=None, val=None, skip=None):
+            out = jaxloop.outer_loop(xr, budget, rl, rs,
+                                     bt != mpeg.NORM_TYPE, bt, ST,
+                                     sf_fix_mask=mask, sf_fix_val=val)
+            ix_signed = jnp.where((xr < 0) & (out["ix"] > 0),
+                                  -out["ix"], out["ix"])
+            payload, _ = jaxbits.granule_payload(
+                out, ix_signed, (bt == 2), ST, payload_words,
+                skip_mask=skip)
+            return out, payload
+
+        out0, pl0 = enc(xr0, b0, rl0, rs0, bt0)
+        mask = scfsi_l.reshape(M, 4).astype(bool)[:, layer3._BAND_OF_SFB]
+        out1, pl1 = enc(xr1, b1, rl1, rs1, bt1, mask=mask,
+                        val=out0["sf_l"], skip=mask)
+
+        def mergek(a0, a1):
+            s = a0.shape[1:]
+            a = jnp.stack([a0.reshape((Kl, nch, C // 2) + s),
+                           a1.reshape((Kl, nch, C // 2) + s)], axis=3)
+            return a.reshape((Kl, nch, C) + s)
+
+        state = {k: mergek(out0[k], out1[k]) for k in out0}
+        state = {k: v.reshape((N,) + v.shape[3:]) for k, v in state.items()}
+        packed = layer3.pack_state(state, mergek(bt0, bt1).reshape(N))
         packed = {k: v.reshape((Kl, nch, C) + v.shape[1:])
                   for k, v in packed.items()}
-        packed["payload"] = payload.reshape(Kl, nch, C, -1)
+        packed["payload"] = mergek(pl0, pl1)
         return packed
 
     keys = ("part2", "compress", "preflag", "count1", "big_values",
@@ -146,7 +182,7 @@ def _build_programs(mesh, nch, C, version, sampling_frequency, sfreq_hz,
             "count1table_select", "global_gain", "part2_3_length",
             "block_type", "payload")
     final = jax.jit(jax.shard_map(
-        final_fn, mesh=mesh, in_specs=(spec,) * 5,
+        final_fn, mesh=mesh, in_specs=(spec,) * 6,
         out_specs={k: spec for k in keys}))
     return analyze, final
 
@@ -199,7 +235,11 @@ def encode_layer3_sharded(pcm, cfg, mesh=None, chunk=None, prof=None):
 
     with prof.stage("sharded analyze+demand"):
         ana = analyze(blocks, halo4)
-        small = jax.device_get({"pe": ana["pe"], "p23": ana["p23"]})
+        small = jax.device_get({"pe": ana["pe"], "p23": ana["p23"],
+                                "scfsi": ana["scfsi"]})
+    # (K, nch, C//2, 4) -> per-frame flags (nch, F, 4)
+    scfsi_frames = np.asarray(small["scfsi"]) \
+        .transpose(1, 0, 2, 3).reshape(nch, Gp // 2, 4)[:, :G // 2]
 
     def to_grid(x):                   # (K, nch, C, ...) -> (nch, G, ...)
         x = np.asarray(x)
@@ -229,7 +269,7 @@ def encode_layer3_sharded(pcm, cfg, mesh=None, chunk=None, prof=None):
         with prof.stage(label):
             host = jax.device_get(final(
                 ana["xr"], ana["ratio_l"], ana["ratio_s"],
-                ana["block_type"], budget))
+                ana["block_type"], budget, ana["scfsi"]))
         payload = np.asarray(host.pop("payload")) \
             .transpose(1, 0, 2, 3).reshape(nch, Gp, -1)[:, :G]
         host = {k: g.reshape((nch * G,) + g.shape[2:])
@@ -251,4 +291,4 @@ def encode_layer3_sharded(pcm, cfg, mesh=None, chunk=None, prof=None):
 
     return _marshal_and_assemble(cfg, host, payload, p23, nframes,
                                  bits_per_frame, mean_bits, resv_max,
-                                 sfb_s, prof)
+                                 sfb_s, prof, scfsi=scfsi_frames)

@@ -61,11 +61,12 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
             ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_int,
-            ctypes.c_long, ctypes.c_long, ctypes.c_int]
+            ctypes.c_long, ctypes.c_long, ctypes.c_int, ctypes.c_int]
         lib.mp3resv_guard.restype = ctypes.c_int
         lib.mp3resv_guard.argtypes = [
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
-            ctypes.c_long, ctypes.c_int, ctypes.c_long, ctypes.c_long]
+            ctypes.c_long, ctypes.c_int, ctypes.c_long, ctypes.c_long,
+            ctypes.c_int]
         _LIB = lib
     return _LIB
 
@@ -75,7 +76,7 @@ def _lptr(a):
 
 
 def resv_scan(pe, demand, p23, last_target, nframes, nch, mean_bits,
-              resv_max):
+              resv_max, mode_gr=2):
     """Native reservoir budget scan.  Arrays are (nch, G) and get
     transposed to the scan's granule-major (f, gr, ch) order."""
     lib = get_lib()
@@ -92,17 +93,17 @@ def resv_scan(pe, demand, p23, last_target, nframes, nch, mean_bits,
     lib.mp3resv_scan(
         pe_g.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         _lptr(demand_g), _lptr(p23_g), _lptr(lt_g), _lptr(budgets),
-        nframes, nch, mean_bits, resv_max, mode)
+        nframes, nch, mean_bits, resv_max, mode, mode_gr)
     return budgets.reshape(-1, nch).T.copy()
 
 
-def resv_guard(p23, nframes, nch, mean_bits, resv_max):
+def resv_guard(p23, nframes, nch, mean_bits, resv_max, mode_gr=2):
     """Native feasibility-limit scan; returns (bad, limits (nch, G))."""
     lib = get_lib()
     p23_g = np.ascontiguousarray(np.asarray(p23, np.int64).T.reshape(-1))
     limits = np.zeros(p23_g.shape[0], np.int64)
     bad = lib.mp3resv_guard(_lptr(p23_g), _lptr(limits), nframes, nch,
-                            mean_bits, resv_max)
+                            mean_bits, resv_max, mode_gr)
     return bool(bad), limits.reshape(-1, nch).T.copy()
 
 

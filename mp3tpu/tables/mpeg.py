@@ -44,8 +44,13 @@ SFBAND = [
     dict(l=[0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136, 162, 194,
             232, 278, 330, 394, 464, 540, 576],
          s=[0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192]),  # 24
-    dict(l=[0, 6, 12, 18, 24, 30, 36, 44, 45, 66, 80, 96, 116, 140, 168, 200,
-            238, 248, 336, 396, 464, 522, 576],
+    # 16 kHz: dist10's loop.c:77 has typos (45 for 54, 248 for 284);
+    # we use the correct IS 13818-3 Table B.2.a values -- the reference
+    # cannot encode LSF at all (its psy exits, l3psy.c:174), so there
+    # is no bitstream parity to preserve, and real decoders use the IS
+    # values.
+    dict(l=[0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168, 200,
+            238, 284, 336, 396, 464, 522, 576],
          s=[0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192]),  # 16
     # MPEG-1 (version 1)
     dict(l=[0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134,

@@ -65,14 +65,124 @@ def _spreading(bval, nmax):
     return s3
 
 
+def _gen_sfb_conv(partition, numlines, sfb_edges, nsb, scale):
+    """Partition -> scalefactor-band conversion tables (bu/bo/w1/w2).
+
+    Reverse-engineered from the tabulated psy_data conversion rows: an
+    sfb edge at MDCT line m sits at FFT bin position m*scale + 0.5
+    (bin-center convention; scale = 1024/1152 long, 256/384 short);
+    the partition containing that position is split between adjacent
+    sfbs with complementary weights (w2[sb] + w1[sb+1] == 1).  The
+    generated values match the shipped dist10 tables for the three
+    MPEG-1 rates to within one boundary bin.
+    """
+    starts = np.concatenate([[0.0], np.cumsum(numlines)])
+    bu = np.zeros(nsb, np.int32)
+    bo = np.zeros(nsb, np.int32)
+    w1 = np.zeros(nsb)
+    w2 = np.zeros(nsb)
+    prev_bo, prev_w2, first = 0, 0.0, True
+    nmax = int(np.max(partition))
+    for sb in range(nsb):
+        e = float(sfb_edges[sb + 1]) * scale + 0.5
+        bu[sb] = prev_bo
+        w1[sb] = 1.0 if first else 1.0 - prev_w2
+        first = False
+        b = int(np.searchsorted(starts, e, side="right")) - 1
+        b = min(b, nmax)
+        while numlines[b] == 0 and b > 0:
+            b -= 1
+        w = min((e - starts[b]) / max(numlines[b], 1), 1.0)
+        bo[sb] = b
+        w2[sb] = w
+        prev_bo, prev_w2 = b, w
+    return bu, bo, w1, w2
+
+
+LSF_RATES = (22050.0, 24000.0, 16000.0)
+
+
+def _lsf_params(sfreq_hz):
+    """Model-2 tables for the MPEG-2 LSF rates (16/22.05/24 kHz).
+
+    The reference ships no psy tables for these rates -- its psy model
+    exits on them (l3psy.c:174), so MPEG-2 LSF encoding is dead code in
+    the reference despite the framing/rate-loop support.  Each LSF rate
+    is exactly half an MPEG-1 rate, so the FFT line at index i sits at
+    the frequency of parent line i/2: the partition map, bark values,
+    minval and spreading carry over directly, with numlines recounted
+    on the denser grid and the absolute thresholds scaled by the line
+    count (threshold mass per partition is proportional to the number
+    of lines it spans).  The partition->sfb conversion is generated for
+    the LSF scalefactor-band edges with the same rule the dist10 tables
+    follow (_gen_sfb_conv).
+    """
+    from . import mpeg
+
+    parent = psy_params_for_sfreq(2.0 * sfreq_hz)
+    idx = {22050.0: 0, 24000.0: 1, 16000.0: 2}[float(sfreq_hz)]
+    out = {}
+
+    def halve(partition_parent, nbins):
+        part = partition_parent[np.arange(nbins) // 2].astype(np.int32)
+        nl = np.bincount(part, minlength=CBANDS).astype(np.int32)
+        # partitions past the new nyquist keep zero lines
+        return part, nl
+
+    partition_l, numlines = halve(parent["partition_l"], HBLKSIZE)
+    cbmax_l = int(partition_l.max()) + 1
+    qthr_l = np.where(parent["numlines"] > 0,
+                      parent["qthr_l"] * numlines /
+                      np.maximum(parent["numlines"], 1), 0.0)
+    s3_l = _spreading(parent["bval_l"], cbmax_l)
+
+    partition_s, numlines_s = halve(parent["partition_s"], HBLKSIZE_S)
+    cbmax_s = int(partition_s.max()) + 1
+    qthr_s = np.where(parent["numlines_s"] > 0,
+                      parent["qthr_s"] * numlines_s /
+                      np.maximum(parent["numlines_s"], 1), 0.0)
+
+    sfb_l = mpeg.sfb_long(mpeg.MPEG2_LSF, idx)
+    sfb_s = mpeg.sfb_short(mpeg.MPEG2_LSF, idx)
+    bu_l, bo_l, w1_l, w2_l = _gen_sfb_conv(
+        partition_l, numlines, sfb_l, SBMAX_L, 1024.0 / 1152.0)
+    bu_s, bo_s, w1_s, w2_s = _gen_sfb_conv(
+        partition_s, numlines_s, sfb_s, SBMAX_S, 256.0 / 384.0)
+
+    numlines_pe = numlines.copy()
+    numlines_pe[:cbmax_s] = numlines_s[:cbmax_s]
+
+    out.update(
+        sfreq=sfreq_hz, cbmax_l=cbmax_l, cbmax_s=cbmax_s,
+        numlines=numlines, numlines_pe=numlines_pe,
+        minval=parent["minval"].copy(), qthr_l=qthr_l,
+        norm_l=parent["norm_l"].copy(), bval_l=parent["bval_l"].copy(),
+        partition_l=partition_l, s3_l=s3_l,
+        s3_mask=np.ones((CBANDS, CBANDS)),
+        numlines_s=numlines_s, qthr_s=qthr_s,
+        norm_s=parent["norm_s"].copy(), snr_s=parent["snr_s"].copy(),
+        bval_s=parent["bval_s"].copy(), partition_s=partition_s,
+        s3_s=_spreading(parent["bval_s"], cbmax_s),
+        cbw_l=(bo_l - bu_l).astype(np.int32), bu_l=bu_l, bo_l=bo_l,
+        w1_l=w1_l, w2_l=w2_l,
+        cbw_s=(bo_s - bu_s).astype(np.int32), bu_s=bu_s, bo_s=bo_s,
+        w1_s=w1_s, w2_s=w2_s,
+    )
+    return out
+
+
 @lru_cache(maxsize=None)
 def psy_params_for_sfreq(sfreq_hz):
     """All Layer III model-2 tables for one sample rate (Hz, e.g. 44100).
 
     Returns a dict of numpy arrays sized to the fixed CBANDS/CBANDS_S
     dimensions with zero padding, mirroring the reference's static
-    buffers.
+    buffers.  The MPEG-2 LSF rates (16/22.05/24 kHz) are derived from
+    their doubled MPEG-1 parents (_lsf_params) -- the reference has no
+    tables for them at all.
     """
+    if float(sfreq_hz) in LSF_RATES:
+        return _lsf_params(float(sfreq_hz))
     p = PSY_DATA
     pos = 0
     out = {}

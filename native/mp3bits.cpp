@@ -410,14 +410,18 @@ void mp3bits_encode_clip_payload(void* h, long nframes, int bits_per_frame,
                                  int words_per_row) {
   auto* a = static_cast<Assembler*>(h);
   int nch = a->nch;
-  long G = 2 * nframes;
+  // MPEG-2 LSF (version 0): one granule per frame, 8-bit back-pointer,
+  // 1/2 private bits, no scfsi, 9-bit scalefac_compress, no preflag
+  // bit (implied by the compress range; IS 13818-3 2.4.1.7)
+  int mode_gr = a->version == 1 ? 2 : 1;
+  long G = mode_gr * nframes;
   long size = 0;
   int main_data_begin = 0;
   for (long f = 0; f < nframes; ++f) {
     int frame_p23[2][2];
-    for (int gr = 0; gr < 2; ++gr)
+    for (int gr = 0; gr < mode_gr; ++gr)
       for (int ch = 0; ch < nch; ++ch) {
-        long g = 2 * f + gr;
+        long g = mode_gr * f + gr;
         int p23 = side[(ch * G + g) * 19];
         frame_p23[gr][ch] = p23;
         size += mean_bits / nch - p23;
@@ -450,14 +454,20 @@ void mp3bits_encode_clip_payload(void* h, long nframes, int bits_per_frame,
     si.push_back({(uint32_t)a->copyright, 1});
     si.push_back({(uint32_t)a->original, 1});
     si.push_back({(uint32_t)a->emphasis, 2});
-    si.push_back({(uint32_t)main_data_begin, 9});
-    si.push_back({(uint32_t)a->private_bits, (uint16_t)(nch == 2 ? 3 : 5)});
-    for (int ch = 0; ch < nch; ch++)
-      for (int b = 0; b < 4; b++)
-        si.push_back({(uint32_t)scfsi[ch * 4 + b], 1});
-    for (int gr = 0; gr < 2; ++gr)
+    if (mode_gr == 2) {
+      si.push_back({(uint32_t)main_data_begin, 9});
+      si.push_back({(uint32_t)a->private_bits, (uint16_t)(nch == 2 ? 3 : 5)});
+      // scfsi is per FRAME: (nframes, nch, 4) layout
+      for (int ch = 0; ch < nch; ch++)
+        for (int b = 0; b < 4; b++)
+          si.push_back({(uint32_t)scfsi[(f * nch + ch) * 4 + b], 1});
+    } else {
+      si.push_back({(uint32_t)main_data_begin, 8});
+      si.push_back({(uint32_t)a->private_bits, (uint16_t)(nch == 2 ? 2 : 1)});
+    }
+    for (int gr = 0; gr < mode_gr; ++gr)
       for (int ch = 0; ch < nch; ++ch) {
-        long g = 2 * f + gr;
+        long g = mode_gr * f + gr;
         const int* s = side + (ch * G + g) * 19;
         GranuleSide gs{frame_p23[gr][ch], s[1], s[2], s[3], s[4], s[5],
                        s[6], {s[7], s[8], s[9]}, s[10], s[11], s[12],
@@ -465,7 +475,8 @@ void mp3bits_encode_clip_payload(void* h, long nframes, int bits_per_frame,
         si.push_back({(uint32_t)gs.p23, 12});
         si.push_back({(uint32_t)gs.big_values, 9});
         si.push_back({(uint32_t)gs.global_gain, 8});
-        si.push_back({(uint32_t)gs.compress, 4});
+        si.push_back({(uint32_t)gs.compress,
+                      (uint16_t)(mode_gr == 2 ? 4 : 9)});
         si.push_back({(uint32_t)gs.wsf, 1});
         if (gs.wsf) {
           si.push_back({(uint32_t)gs.block_type, 2});
@@ -482,7 +493,7 @@ void mp3bits_encode_clip_payload(void* h, long nframes, int bits_per_frame,
           si.push_back({(uint32_t)gs.r0, 4});
           si.push_back({(uint32_t)gs.r1, 3});
         }
-        si.push_back({(uint32_t)gs.preflag, 1});
+        if (mode_gr == 2) si.push_back({(uint32_t)gs.preflag, 1});
         si.push_back({(uint32_t)gs.scalefac_scale, 1});
         si.push_back({(uint32_t)gs.c1ts, 1});
       }
@@ -493,9 +504,9 @@ void mp3bits_encode_clip_payload(void* h, long nframes, int bits_per_frame,
     a->queue.push_back(std::move(rec));
 
     // main data: splice each granule's pre-packed payload bits
-    for (int gr = 0; gr < 2; ++gr)
+    for (int gr = 0; gr < mode_gr; ++gr)
       for (int ch = 0; ch < nch; ++ch) {
-        long g = 2 * f + gr;
+        long g = mode_gr * f + gr;
         const uint32_t* row = payload + (ch * G + g) * words_per_row;
         long bits = frame_p23[gr][ch];
         long w = 0;
@@ -589,11 +600,12 @@ long mp3bits_pack(const uint32_t* values, const int32_t* lengths,
 extern "C" void mp3resv_scan(const double* pe, const long* demand,
                              const long* p23, const long* last_target,
                              long* budgets, long nframes, int nch,
-                             long mean_bits, long resv_max, int mode) {
+                             long mean_bits, long resv_max, int mode,
+                             int mode_gr) {
   long size = 0;
   long idx = 0;
   for (long f = 0; f < nframes; ++f) {
-    for (int gr = 0; gr < 2; ++gr) {
+    for (int gr = 0; gr < mode_gr; ++gr) {
       for (int ch = 0; ch < nch; ++ch, ++idx) {
         // ResvMaxBits (reservoir.c:101-134), matching
         // mp3tpu/numpy_ref/reservoir.py::max_bits exactly
@@ -642,12 +654,13 @@ extern "C" void mp3resv_scan(const double* pe, const long* demand,
 // validation guard scan: per-granule feasibility limits given actual
 // usage (mp3tpu/encoder.py guard loop).  Returns 1 if any violation.
 extern "C" int mp3resv_guard(const long* p23, long* limits, long nframes,
-                             int nch, long mean_bits, long resv_max) {
+                             int nch, long mean_bits, long resv_max,
+                             int mode_gr) {
   long size = 0;
   long idx = 0;
   int bad = 0;
   for (long f = 0; f < nframes; ++f) {
-    for (int gr = 0; gr < 2; ++gr) {
+    for (int gr = 0; gr < mode_gr; ++gr) {
       for (int ch = 0; ch < nch; ++ch, ++idx) {
         long mean = mean_bits / nch;
         long limit = mean + size;

@@ -25,8 +25,9 @@ def _signal(seconds=2.0, rate=44100):
     y = 0.2 * np.sin(2 * np.pi * 554 * t) + 0.03 * rng.randn(len(t))
     # a couple of transients so short blocks + the cross-chunk FSM
     # actually engage
-    for pos in (int(0.5 * rate), int(1.3 * rate)):
-        x[pos:pos + 200] += 0.5 * np.hanning(200)
+    for frac in (0.3, 0.7):
+        pos = int(frac * seconds * rate)
+        x[pos:pos + 200] += 0.5 * np.hanning(200)[:len(x) - pos]
     return np.clip(np.stack([x, y]) * 24000, -32768, 32767).astype(np.int16)
 
 
