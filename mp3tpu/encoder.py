@@ -33,7 +33,7 @@ from .tables import mpeg
 #: program (compile time was superlinear in granule count, >590 s for
 #: a 60 s clip).  Chunks also bound device memory and give streaming
 #: stdin and the multi-chip path their natural unit of work.
-CHUNK_BUCKETS = (64, 128, 256, 512)
+CHUNK_BUCKETS = (64, 128, 256)
 
 
 def _chunk_size(G):
@@ -84,17 +84,17 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
 
     anas = []
     fsm = jnp.zeros(nch, jnp.int32)
-    with prof.stage("analyze+demand (device)"):
+    with prof.stage("analyze (device)"):
         for k in range(K):
             halo4 = (zero_halo if k == 0 else
                      blocks[:, k * C - 4: k * C].astype(np.float32))
-            ana, p23_dev = layer3.analyze_demand_chunk(
+            ana = layer3.analyze_demand_chunk(
                 blocks[:, k * C:(k + 1) * C], halo4, fsm, cfg.version,
                 cfg.sampling_frequency, sfreq_hz)
             fsm = ana["fsm_state"]
-            ana["p23"] = p23_dev
             anas.append(ana)
-        small = jax.device_get([(a["pe"], a["p23"]) for a in anas])
+        pe_dev = jnp.concatenate([a["pe"] for a in anas])
+        small_pe = jax.device_get(pe_dev)
 
     # scfsi flags (MPEG-1): computed on device from the analysis
     # (loop.c:615-720 conditions); the same flags drive the paired
@@ -114,8 +114,7 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
             [p.reshape((nch, C) + p.shape[1:]) for p in parts], axis=1)
         return out[:, :G]
 
-    pe = _cat([s[0] for s in small]).astype(np.float64)
-    p23 = _cat([s[1] for s in small]).astype(np.int64)
+    pe = _cat(np.split(small_pe, K)).astype(np.float64)
 
     whole_spf, _ = cfg.slots_per_frame()
     bits_per_frame = 8 * whole_spf
@@ -125,7 +124,10 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
     resv_limit = 4088 if mode_gr == 2 else 2040
     resv_max = min(max(0, 7680 - bits_per_frame), resv_limit)
 
-    demand = p23.copy()
+    # the scan needs no demand estimate: budgets are granted from pe
+    # and the reservoir level with usage predicted at the full grant
+    # (conservative); the probe below measures realized usage
+    demand = np.full((nch, G), 4095, np.int64)
     from .runtime.bitstream import resv_guard, resv_scan
 
     # ---- predictive reservoir scan (reservoir.c:101-134 policy, run
@@ -158,24 +160,72 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
                 a["xr"], a["ratio_l"], a["ratio_s"], a["block_type"],
                 jnp.asarray(budget[:, k * C:(k + 1) * C].reshape(-1)),
                 cfg.version, cfg.sampling_frequency, payload_words=pw,
-                scfsi=a.get("scfsi"), nch=nch)
+                scfsi=a.get("scfsi"), sf_fix=a.get("sf_fix"), nch=nch)
                 for k, a in enumerate(anas)]
-            hosts = jax.device_get(hosts)
-        host = {}
-        for key in hosts[0]:
-            if key == "payload":
-                continue
-            v = _cat([h[key] for h in hosts])
-            host[key] = v.reshape((nch * G,) + v.shape[2:])
-        payload = np.concatenate(
-            [np.asarray(h["payload"]).reshape(nch, C, -1)
-             for h in hosts], axis=1)[:, :G]
-        return host, payload
+            # concatenate ON DEVICE: the tunnel charges per fetched
+            # buffer, so drain 2 big buffers instead of 2 per chunk
+            side_dev = jnp.concatenate(
+                [h["side"].reshape(nch, C, 19) for h in hosts], axis=1)
+            pay_dev = jnp.concatenate(
+                [h["payload"].reshape(nch, C, -1) for h in hosts], axis=1)
+            side, payload = jax.device_get((side_dev, pay_dev))
+        return np.asarray(side)[:, :G], np.asarray(payload)[:, :G]
 
-    words_needed = (int(target.max()) + 31) // 32 if target.size else 1
-    pw = min(layer3.jaxbits.PAYLOAD_WORDS,
-             max(16, ((words_needed + 15) // 16) * 16))
-    host, payload = run_final(target, pw, "final encode+pack (device)")
+    # payload-row bucket: generous (+512 bits) and coarse (32-word
+    # steps) so the relax/guard re-encodes below stay on the SAME
+    # compiled program -- every new bucket is a fresh XLA compile
+    def bucket(bits_max):
+        words = (int(bits_max) + 512 + 31) // 32
+        return min(layer3.jaxbits.PAYLOAD_WORDS,
+                   max(32, ((words + 31) // 32) * 32))
+
+    # ---- reservoir RELAX: the predictive scan assumed each granule
+    # would spend its whole grant, but bits(stepsize) is quantized --
+    # actual usage runs 5-10% under the grant and the unspent bits
+    # would pool in the reservoir.  The reference recycles that pool
+    # frame by frame (its reservoir level reflects true usage); we
+    # measure realized usage with a cheap p23-only PROBE (the emission
+    # graph is dead-code-eliminated), re-scan seeded by it, and only
+    # then pay for the one full encode at the relaxed grants.
+    def run_probe(target, label):
+        budget = np.full((nch, Gp), 4095.0, np.float32)
+        budget[:, :G] = np.where(target < demand, target, 4095)
+        with prof.stage(label):
+            probes = [layer3.encode_probe(
+                a["xr"], a["ratio_l"], a["ratio_s"], a["block_type"],
+                jnp.asarray(budget[:, k * C:(k + 1) * C].reshape(-1)),
+                cfg.version, cfg.sampling_frequency,
+                scfsi=a.get("scfsi"), sf_fix=a.get("sf_fix"), nch=nch)
+                for k, a in enumerate(anas)]
+            p23_dev = jnp.concatenate([pr["p23"] for pr in probes])
+            sf_dev = jnp.concatenate([pr["sf_l"] for pr in probes])
+            p23p, sfp = jax.device_get((p23_dev, sf_dev))
+        p23g = _cat(np.split(np.asarray(p23p), K)).astype(np.int64)
+        sfg = np.concatenate(
+            [np.asarray(x).reshape(nch, C, 21)
+             for x in np.split(np.asarray(sfp), K)], axis=1)
+        return p23g, sfg                       # sfg covers Gp granules
+
+    # probe 1 (no scfsi coupling yet); its granule-0 scalefactors
+    # become the pair-fixed values for the scfsi-coupled encodes
+    p23_probe, sf_grid = run_probe(target, "probe p23 (device)")
+    if mode_gr == 2:
+        for k, a in enumerate(anas):
+            a["sf_fix"] = np.ascontiguousarray(
+                sf_grid[:, k * C:(k + 1) * C][:, 0::2].astype(np.int32))
+    for _relax in range(2):
+        target2 = np.minimum(
+            demand, resv_scan(pe, demand, p23_probe, target, nframes,
+                              nch, mean_bits, resv_max, mode_gr))
+        raised = np.maximum(target, target2)
+        if int(np.sum(raised - target)) <= 16 * nframes:
+            break
+        target = raised
+        if _relax == 0:
+            p23_probe, _ = run_probe(target, "probe p23 relax (device)")
+
+    pw = bucket(target.max() if target.size else 1)
+    side, payload = run_final(target, pw, "final encode+pack (device)")
 
     # the dense re-encode is the authority on p23 (float batch-shape
     # jitter vs the demand probes can move a lane by a few bits):
@@ -184,13 +234,13 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
     # (b) the reservoir guard can flag an overdraw; clamp budgets
     #     (floored -- a tiny frame's limit could otherwise go <= 0)
     #     and re-encode.
-    p23 = host["part2_3_length"].astype(np.int64).reshape(nch, G)
+    p23 = side[:, :, 0].astype(np.int64)
     while int(p23.max()) > 32 * pw:
         assert pw < layer3.jaxbits.PAYLOAD_WORDS, \
             "granule exceeds the maximum payload row"
-        pw = min(layer3.jaxbits.PAYLOAD_WORDS, pw + 16)
-        host, payload = run_final(target, pw, "final re-bucket (device)")
-        p23 = host["part2_3_length"].astype(np.int64).reshape(nch, G)
+        pw = min(layer3.jaxbits.PAYLOAD_WORDS, pw + 32)
+        side, payload = run_final(target, pw, "final re-bucket (device)")
+        p23 = side[:, :, 0].astype(np.int64)
     for _retry in range(3):
         bad, limits = resv_guard(p23, nframes, nch, mean_bits, resv_max,
                                  mode_gr)
@@ -200,49 +250,28 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
             raise RuntimeError(
                 "reservoir guard failed to converge after dense retries")
         target = np.minimum(target, np.maximum(limits - 8, 64))
-        host, payload = run_final(target, pw,
+        side, payload = run_final(target, pw,
                                   "final encode+pack retry (device)")
-        p23 = host["part2_3_length"].astype(np.int64).reshape(nch, G)
+        p23 = side[:, :, 0].astype(np.int64)
 
-    return _marshal_and_assemble(cfg, host, payload, p23, nframes,
+    return _marshal_and_assemble(cfg, side, payload, nframes,
                                  bits_per_frame, mean_bits, resv_max,
                                  sfb_s, prof, scfsi=scfsi_frames)
 
 
-def _marshal_and_assemble(cfg, host, payload, p23, nframes,
+def _marshal_and_assemble(cfg, side, payload, nframes,
                           bits_per_frame, mean_bits, resv_max, sfb_s,
                           prof, scfsi=None):
     """Shared tail of the single-chip and multi-chip Layer III paths:
-    build the (nch, G, 19) side-info table from the device scalars and
-    run the native whole-clip assembler (reservoir.c:141-226 frame loop
-    + side-info emission + payload splice in one C++ call)."""
+    the (nch, G, 19) side-info table arrives DEVICE-BUILT in the native
+    assembler's layout (models/layer3.pack_state); run the native
+    whole-clip assembler (reservoir.c:141-226 frame loop + side-info
+    emission + payload splice in one C++ call)."""
     nch = cfg.nchannels
     G = nframes * cfg.mode_gr
     payload = np.ascontiguousarray(payload)
-    host = {k: np.asarray(v).astype(np.int32) for k, v in host.items()}
-    bts_all = host["block_type"]
-    prof_marshal = prof.stage("host marshal")
-    prof_marshal.__enter__()
-    side = np.zeros((nch, G, 19), np.int32)
-    for ch in range(nch):
-        sl = slice(ch * G, (ch + 1) * G)
-        side[ch, :, 0] = p23[ch]
-        side[ch, :, 1] = host["big_values"][sl]
-        side[ch, :, 2] = host["global_gain"][sl]
-        side[ch, :, 3] = host["compress"][sl]
-        wsf = (bts_all[sl] != mpeg.NORM_TYPE).astype(np.int32)
-        side[ch, :, 4] = wsf
-        side[ch, :, 5] = np.where(wsf == 1, bts_all[sl], 0)
-        side[ch, :, 7:10] = host["table_select"][sl]
-        side[ch, :, 10] = host["r0"][sl]
-        side[ch, :, 11] = host["r1"][sl]
-        side[ch, :, 12] = host["preflag"][sl]
-        side[ch, :, 14] = host["count1table_select"][sl]
-        side[ch, :, 15] = host["part2"][sl]
-        side[ch, :, 16] = host["a1"][sl]
-        side[ch, :, 17] = host["a2"][sl]
-        side[ch, :, 18] = host["count1"][sl]
-    prof_marshal.__exit__(None, None, None)
+    side = np.ascontiguousarray(np.asarray(side, np.int32))
+    assert side.shape == (nch, G, 19), side.shape
 
     # ---- final exact reservoir + stuffing + payload weave: the whole
     # clip's frame loop (reservoir.c:141-226 + side-info emission)

@@ -144,7 +144,7 @@ def analyze_demand(pcm_i16, version, sampling_frequency, sfreq_hz):
                                    "sfreq_hz"))
 def analyze_demand_chunk(pcm_i16, halo4, fsm_init, version,
                          sampling_frequency, sfreq_hz):
-    """Fixed-size chunk analysis + unconstrained demand encode.
+    """Fixed-size chunk analysis (psy + DSP + scfsi decision).
 
     The whole-clip dispatch (analyze_demand) compiles a program whose
     shape -- and XLA compile time, superlinearly -- grows with clip
@@ -184,12 +184,7 @@ def analyze_demand_chunk(pcm_i16, halo4, fsm_init, version,
     ana["fsm_state"] = fsm_state
     if scfsi is not None:
         ana["scfsi"] = scfsi                       # (nch, C//2, 4)
-    C = blocks.shape[1]
-    budget = jnp.full(nch * C, 4095.0, jnp.float32)
-    state = _encode_body(ana["xr"], ana["ratio_l"], ana["ratio_s"],
-                         ana["block_type"], budget, version,
-                         sampling_frequency)
-    return ana, state["part2_3_length"]
+    return ana
 
 
 def _analyze_chunk_body(blocks_ext, halo2, fsm_init, sfreq_hz):
@@ -207,75 +202,78 @@ def _analyze_chunk_body(blocks_ext, halo2, fsm_init, sfreq_hz):
 
 
 @partial(jax.jit, static_argnames=("version", "sampling_frequency",
+                                   "nch"))
+def encode_probe(xr, ratio_l, ratio_s, block_type, budget, version,
+                 sampling_frequency, scfsi=None, sf_fix=None, nch=1):
+    """p23-only rate-loop probe at the given budgets: identical loop to
+    encode_final, but XLA dead-code-eliminates the entire emission/
+    packing graph and only one small (N,) buffer crosses the link.
+    Used to measure realized usage for the reservoir relax scan before
+    paying for the one full encode."""
+    ST = jaxloop._static(version, sampling_frequency)
+    is_short_block = block_type != mpeg.NORM_TYPE
+    mask = vals = skipm = None
+    if scfsi is not None and sf_fix is not None and not ST["lsf"]:
+        N = xr.shape[0]
+        C = N // nch
+        band = scfsi.reshape(nch, C // 2, 4).astype(bool)[:, :, _BAND_OF_SFB]
+        mask = jnp.repeat(band, 2, axis=1).reshape(N, 21)
+        vals = jnp.repeat(sf_fix.reshape(nch, C // 2, 21), 2,
+                          axis=1).reshape(N, 21)
+        odd = (jnp.arange(C) % 2 == 1)
+        skipm = mask & jnp.tile(odd, (nch,))[:, None]
+    out = jaxloop.outer_loop(xr, budget, ratio_l, ratio_s,
+                             is_short_block, block_type, ST,
+                             sf_fix_mask=mask, sf_fix_val=vals,
+                             sf_skip_mask=skipm)
+    return dict(p23=out["part2_3_length"].astype(jnp.int32),
+                sf_l=out["sf_l"].astype(jnp.int8))
+
+
+@partial(jax.jit, static_argnames=("version", "sampling_frequency",
                                    "payload_words", "nch"))
 def encode_final(xr, ratio_l, ratio_s, block_type, budget, version,
                  sampling_frequency, payload_words=jaxbits.PAYLOAD_WORDS,
-                 scfsi=None, nch=1):
+                 scfsi=None, sf_fix=None, nch=1):
     """One dense full-batch encode at the final budgets.  The entire
     main_data (scalefactors + Huffman codewords) is emitted and
     bit-packed ON DEVICE (ops/jaxbits); only the entropy-coded payload
     plus the side-info scalars cross the host link -- the host weave
     (native/mp3bits.cpp) never sees raw spectra.
 
-    scfsi (nch, C//2, 4) int32 (MPEG-1 only): granule pairs whose
-    marked scalefactor bands are transmitted once -- granule 1 reuses
-    granule 0's values (loop.c:615-730).  The pair coupling runs
-    INSIDE this dispatch: granule-0 lanes encode first, granule-1
-    lanes encode with those bands' scalefactors fixed and their bits
-    reclaimed for the spectrum.
+    scfsi (nch, C//2, 4) int32 + sf_fix (nch, C//2, 21) (MPEG-1 only):
+    granule pairs whose marked scalefactor bands are transmitted once
+    -- granule 1 reuses granule 0's values (loop.c:615-730).  BOTH
+    granules of a pair have those bands' scalefactors fixed to the
+    pair's demand-encode values (sf_fix), so the whole batch still
+    encodes in ONE parallel outer_loop; granule-1 lanes additionally
+    skip emitting the fixed bands and reclaim the bits.
     """
     ST = jaxloop._static(version, sampling_frequency)
+    is_short_block = block_type != mpeg.NORM_TYPE
+    is_short = is_short_block & (block_type == 2)
 
-    def encode(xr, budget, rl, rs, bt, sf_fix_mask=None, sf_fix_val=None,
-               skip=None):
-        is_short_block = bt != mpeg.NORM_TYPE
-        out = jaxloop.outer_loop(xr, budget, rl, rs, is_short_block, bt,
-                                 ST, sf_fix_mask=sf_fix_mask,
-                                 sf_fix_val=sf_fix_val)
-        ix_signed = jnp.where((xr < 0) & (out["ix"] > 0), -out["ix"],
-                              out["ix"])
-        is_short = is_short_block & (bt == 2)
-        payload, _ = jaxbits.granule_payload(out, ix_signed, is_short,
-                                             ST, payload_words,
-                                             skip_mask=skip)
-        return out, payload
+    mask = vals = skipm = None
+    if scfsi is not None and sf_fix is not None and not ST["lsf"]:
+        N = xr.shape[0]
+        C = N // nch
+        band = scfsi.reshape(nch, C // 2, 4).astype(bool)[:, :, _BAND_OF_SFB]
+        mask = jnp.repeat(band, 2, axis=1).reshape(N, 21)
+        vals = jnp.repeat(sf_fix.reshape(nch, C // 2, 21), 2,
+                          axis=1).reshape(N, 21)
+        odd = (jnp.arange(C) % 2 == 1)
+        skipm = mask & jnp.tile(odd, (nch,))[:, None]
 
-    if scfsi is None or ST["lsf"]:
-        out, payload = encode(xr, budget, ratio_l, ratio_s, block_type)
-        packed = pack_state(out, block_type)
-        packed["payload"] = payload
-        return packed
-
-    N = xr.shape[0]
-    C = N // nch
-    M = nch * (C // 2)
-
-    def split(a):
-        a2 = a.reshape((nch, C) + a.shape[1:])
-        return (a2[:, 0::2].reshape((M,) + a.shape[1:]),
-                a2[:, 1::2].reshape((M,) + a.shape[1:]))
-
-    xr0, xr1 = split(xr)
-    rl0, rl1 = split(ratio_l)
-    rs0, rs1 = split(ratio_s)
-    bt0, bt1 = split(block_type)
-    b0, b1 = split(budget)
-    out0, payload0 = encode(xr0, b0, rl0, rs0, bt0)
-    mask = (scfsi.reshape(M, 4).astype(bool))[:, _BAND_OF_SFB]  # (M, 21)
-    out1, payload1 = encode(xr1, b1, rl1, rs1, bt1,
-                            sf_fix_mask=mask, sf_fix_val=out0["sf_l"],
-                            skip=mask)
-
-    def merge(a0, a1):
-        s = a0.shape[1:]
-        a = jnp.stack([a0.reshape((nch, C // 2) + s),
-                       a1.reshape((nch, C // 2) + s)], axis=2)
-        return a.reshape((N,) + s)
-
-    state = {k: merge(out0[k], out1[k]) for k in out0}
-    packed = pack_state(state, merge(bt0, bt1))
-    packed["payload"] = merge(payload0, payload1)
-    return packed
+    out = jaxloop.outer_loop(xr, budget, ratio_l, ratio_s,
+                             is_short_block, block_type, ST,
+                             sf_fix_mask=mask, sf_fix_val=vals,
+                             sf_skip_mask=skipm)
+    ix_signed = jnp.where((xr < 0) & (out["ix"] > 0), -out["ix"],
+                          out["ix"])
+    payload, _ = jaxbits.granule_payload(out, ix_signed, is_short,
+                                         ST, payload_words,
+                                         skip_mask=skipm)
+    return dict(side=pack_state(out, block_type), payload=payload)
 
 
 def _analyze_body(blocks, halo_samples, version, sampling_frequency,
@@ -303,23 +301,34 @@ def _encode_body(xr, ratio_l, ratio_s, block_type, budget, version,
 
 @jax.jit
 def pack_state(state, block_type):
-    """Side-info scalars for the tunnel (the spectrum itself leaves the
-    device only as the bit-packed payload from ops/jaxbits)."""
-    return dict(
-        part2=state["part2"].astype(jnp.int16),
-        compress=state["compress"].astype(jnp.int16),
-        preflag=state["preflag"].astype(jnp.int8),
-        count1=state["count1"].astype(jnp.int16),
-        big_values=state["big_values"].astype(jnp.int16),
-        r0=state["r0"].astype(jnp.int8),
-        r1=state["r1"].astype(jnp.int8),
-        a1=state["a1"].astype(jnp.int16),
-        a2=state["a2"].astype(jnp.int16),
-        table_select=state["table_select"].astype(jnp.int8),
-        count1table_select=state["count1table_select"].astype(jnp.int8),
-        global_gain=state["global_gain"].astype(jnp.int16),
-        part2_3_length=state["part2_3_length"].astype(jnp.int32),
-        block_type=block_type.astype(jnp.int8),
-    )
+    """The (N, 19) int32 side-info table in EXACTLY the layout the
+    native assembler consumes (native/mp3bits.cpp GranuleSide) --
+    built on device so ONE buffer (plus the payload) crosses the host
+    link per dispatch; the tunnel charges ~milliseconds per fetched
+    buffer, so the previous 14 small arrays dominated the encode."""
+    bt = block_type.astype(jnp.int32)
+    wsf = (bt != mpeg.NORM_TYPE).astype(jnp.int32)
+    z = jnp.zeros_like(wsf)
+    ts = state["table_select"].astype(jnp.int32)
+    cols = [
+        state["part2_3_length"].astype(jnp.int32),     # 0
+        state["big_values"].astype(jnp.int32),         # 1
+        state["global_gain"].astype(jnp.int32),        # 2
+        state["compress"].astype(jnp.int32),           # 3
+        wsf,                                           # 4
+        jnp.where(wsf == 1, bt, 0),                    # 5
+        z,                                             # 6 mixed
+        ts[:, 0], ts[:, 1], ts[:, 2],                  # 7-9
+        state["r0"].astype(jnp.int32),                 # 10
+        state["r1"].astype(jnp.int32),                 # 11
+        state["preflag"].astype(jnp.int32),            # 12
+        z,                                             # 13 subblock/pad
+        state["count1table_select"].astype(jnp.int32),  # 14
+        state["part2"].astype(jnp.int32),              # 15
+        state["a1"].astype(jnp.int32),                 # 16
+        state["a2"].astype(jnp.int32),                 # 17
+        state["count1"].astype(jnp.int32),             # 18
+    ]
+    return jnp.stack(cols, axis=1)
 
 

@@ -447,10 +447,13 @@ def _bits_only(xr75, qss, is_short, is_short_block, ST):
 
 def search_walk(xr75, budget, start_qss, is_short, is_short_block, ST,
                 max_steps=40):
-    """Monotone up-walk from a warm start: after scalefactor
-    amplification the feasible stepsize only increases (the reference
-    resumes its inner loop the same way, loop.c:580).  Bits-only
-    carries; counts are materialized once at the accepted stepsize."""
+    """Walk from a warm start: up while over budget (after scalefactor
+    amplification the feasible stepsize only increases -- the reference
+    resumes its inner loop the same way, loop.c:580), then refine DOWN
+    while a finer stepsize still fits -- the warm start can otherwise
+    strand budget that a finer global quantization would spend.
+    Bits-only carries; counts are materialized once at the accepted
+    stepsize."""
     qss = start_qss
     bits = _bits_only(xr75, qss, is_short, is_short_block, ST)
 
@@ -532,7 +535,8 @@ _SQRT2_75 = np.sqrt(2.0) ** 0.75
 
 
 def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
-               ST, max_iter=10, sf_fix_mask=None, sf_fix_val=None):
+               ST, max_iter=10, sf_fix_mask=None, sf_fix_val=None,
+               sf_skip_mask=None):
     # max_iter=10: decoded SNR on every quality fixture is unchanged
     # vs 24 (the last amplification rounds only juggle bits between
     # already-converged bands), and the whole batch pays for the
@@ -550,6 +554,7 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
     G = xr.shape[0]
     is_short = is_short_block & (block_type == 2)
     xr_abs = jnp.abs(xr)
+    nonsilent = jnp.max(xr_abs, axis=1) > 0.0
     xmin_l, xmin_s = calc_xmin(xr_abs, ratio_l, ratio_s, ST)
     # long path zeroes the short xmin and vice versa via sfb maxima
     qanf = quantanf_init(xr_abs)
@@ -568,20 +573,30 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
         fv = jnp.where(fixed, sf_fix_val, 0).astype(jnp.int32)
         sf_l0 = sf_l0 + fv
         # pre-amplify the spectrum by the fixed scalefactors
-        # (ifqstep = sqrt(2) at scalefac_scale 0)
-        gain = jnp.einsum("lb,gb->gl", oh_l,
-                          jnp.power(_SQRT2, fv.astype(xr.dtype)))
+        # (ifqstep = sqrt(2) at scalefac_scale 0).  Lines outside any
+        # sfb (the 418..575 "sfb21" region) must keep gain 1 -- the
+        # one-hot matmul alone would zero them.
+        gain = 1.0 + jnp.einsum(
+            "lb,gb->gl", oh_l,
+            jnp.power(_SQRT2, fv.astype(xr.dtype)) - 1.0)
         xr_abs = jnp.where((~is_short)[:, None], xr_abs * gain, xr_abs)
         xmin_l = xmin_l * jnp.power(2.0, fv.astype(xr.dtype))
+
+    # scfsi: amplification is prevented on FIXED bands of both
+    # granules (sf_fix_mask), but only granule 1's bands are skipped
+    # from transmission (sf_skip_mask) -- granule 0 still sends them
+    skip = None
+    if sf_skip_mask is not None:
+        skip = sf_skip_mask & (~is_short)[:, None]
 
     def sbc(sf_l, sf_s, preflag):
         if ST["lsf"]:
             return scale_bitcount_lsf(sf_l, sf_s, is_short, preflag)
-        return scale_bitcount(sf_l, sf_s, is_short, skip_mask=fixed)
+        return scale_bitcount(sf_l, sf_s, is_short, skip_mask=skip)
 
     def iter_body(state):
         (xr_a, xr75, xmin_l, xmin_s, sf_l, sf_s, preflag, qss_prev, done,
-         it, best) = state
+         filling, fill_rounds, it, best) = state
         compress, part2, overflow = sbc(sf_l, sf_s, preflag)
         huff = jnp.maximum(budget - part2, 0)
         qss, bits, ix, c = search_walk(
@@ -590,27 +605,35 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
         xfsf_l, xfsf_s = calc_noise(xr_a, ix, qss, is_short, ST)
 
         # retain the latest encoding as current best (reference keeps
-        # the last iteration's quantization and pre-amp scalefactors)
+        # the last iteration's quantization and pre-amp scalefactors);
+        # in the budget-FILL phase (below), accept only results that
+        # spend strictly more of the granted bits
+        used_new = (part2 + bits).astype(jnp.int32)
         new_best = dict(ix=ix, qss=qss, bits=bits, part2=part2,
                         compress=compress, sf_l=sf_l, sf_s=sf_s,
-                        preflag=preflag,
+                        preflag=preflag, used=used_new,
                         count1=c["count1"], big_values=c["big_values"],
                         r0=c["r0"], r1=c["r1"], a1=c["a1"], a2=c["a2"],
                         table_select=c["table_select"],
                         count1table_select=c["count1table_select"])
-        upd = ~done
+        upd = (~done) & ((~filling) | (used_new > best["used"]))
         best = {k: jnp.where(_bshape(upd, best[k]), new_best[k], best[k])
                 for k in best}
+        upd = ~done
 
-        # preemphasis (long only, once)
+        # preemphasis (long only, once).  NOTE: every line-gain below
+        # is built as 1 + oh @ (band_gain - 1): lines outside any sfb
+        # (418..575, no scalefactor exists) must keep gain 1 -- a bare
+        # one-hot matmul zeroes them, which silently erased the whole
+        # top spectrum of any granule that amplified even once.
         over_hi = jnp.sum((xfsf_l[:, 17:21] > xmin_l[:, 17:21]), axis=1)
         trigger_pre = (~is_short) & (preflag == 0) & (over_hi == 4) & upd
         pre_gain = jnp.asarray(_SQRT2 ** _PRETAB, xr.dtype)
         pre_gain75 = jnp.asarray((_SQRT2 ** _PRETAB) ** 0.75, xr.dtype)
         xr_a = jnp.where(trigger_pre[:, None],
-                         xr_a * (oh_l @ pre_gain), xr_a)
+                         xr_a * (1.0 + oh_l @ (pre_gain - 1.0)), xr_a)
         xr75 = jnp.where(trigger_pre[:, None],
-                         xr75 * (oh_l @ pre_gain75), xr75)
+                         xr75 * (1.0 + oh_l @ (pre_gain75 - 1.0)), xr75)
         xmin_l = jnp.where(trigger_pre[:, None],
                            xmin_l * (jnp.asarray(_SQRT2 ** (2 * _PRETAB), xr.dtype)),
                            xmin_l)
@@ -623,20 +646,67 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
         if fixed is not None:
             over_l = over_l & ~fixed
         over_s = (xfsf_s > xmin_s) & is_short[:, None, None] & upd[:, None, None]
+
+        # ---- budget FILL (no reference counterpart -- the reference
+        # stops here and stuffs the slack away).  A budget-limited
+        # granule about to terminate (nothing left to amplify, or the
+        # next round would amplify every band -- the reference's
+        # loop_break exit) with a large unspent bit gap switches to
+        # SELECTIVE amplification: only its k most noise/threshold-
+        # distorted bands, k sized to the slack, so the extra precision
+        # lands inside the stranded bits instead of overshooting.
+        # Best-tracking above only accepts fill-mode results that spend
+        # strictly more bits, so an overshoot can never regress.
+        over_any_real = jnp.any(over_l, axis=1) | jnp.any(over_s, axis=(1, 2))
+        amped_or_over_l = (sf_l[:, :21] > 0) | over_l
+        if fixed is not None:
+            amped_or_over_l = amped_or_over_l | fixed
+        prosp_stop = jnp.where(
+            is_short,
+            jnp.all((sf_s > 0) | over_s, axis=(1, 2)),
+            jnp.all(amped_or_over_l, axis=1)) | (~over_any_real)
+        slack = budget - used_new.astype(budget.dtype)
+        # at most 2 fill rounds per lane: nearly all of the recoverable
+        # slack lands in the first rounds, and every extra round keeps
+        # the whole batch's while_loop alive.  Silent granules are
+        # excluded (their p23 is forced to 0; amplifying zeros would
+        # only grow a phantom part2).
+        fillable = (budget < 4000.0) & (slack > 32.0) & (fill_rounds < 2) \
+            & nonsilent
+        filling = filling | (upd & prosp_stop & fillable & (~overflow))
+        use_subset = filling & upd & fillable
+        fill_rounds_next = fill_rounds + use_subset.astype(jnp.int32)
+        k = jnp.clip((slack / 40.0).astype(jnp.int32), 1, 20)
+        ratio_fill_l = xfsf_l / jnp.maximum(xmin_l, 1e-30)
+        thresh_l = jnp.take_along_axis(
+            jnp.sort(ratio_fill_l, axis=1)[:, ::-1], (k - 1)[:, None],
+            axis=1)
+        topk_l = ratio_fill_l >= thresh_l
+        if fixed is not None:
+            topk_l = topk_l & ~fixed
+        over_l = jnp.where((use_subset & (~is_short))[:, None],
+                           topk_l, over_l)
+        ratio_fill_s = (xfsf_s / jnp.maximum(xmin_s, 1e-30)).reshape(G, 36)
+        thresh_s = jnp.take_along_axis(
+            jnp.sort(ratio_fill_s, axis=1)[:, ::-1],
+            jnp.clip(k, 1, 35)[:, None], axis=1)
+        topk_s = (ratio_fill_s >= thresh_s).reshape(G, 12, 3)
+        over_s = jnp.where((use_subset & is_short)[:, None, None],
+                           topk_s, over_s)
         sf_l = sf_l + over_l.astype(jnp.int32)
         sf_s = sf_s + over_s.astype(jnp.int32)
         xmin_l = jnp.where(over_l, xmin_l * 2.0, xmin_l)
         xmin_s = jnp.where(over_s, xmin_s * 2.0, xmin_s)
-        amp_l = (1.0 + over_l.astype(xr.dtype) * (_SQRT2 - 1.0)).astype(xr.dtype)
-        amp_l75 = (1.0 + over_l.astype(xr.dtype) * (_SQRT2_75 - 1.0)).astype(xr.dtype)
-        gain_long = jnp.einsum("lb,gb->gl", oh_l, amp_l)
-        gain_long75 = jnp.einsum("lb,gb->gl", oh_l, amp_l75)
+        amp_l = (over_l.astype(xr.dtype) * (_SQRT2 - 1.0)).astype(xr.dtype)
+        amp_l75 = (over_l.astype(xr.dtype) * (_SQRT2_75 - 1.0)).astype(xr.dtype)
+        gain_long = 1.0 + jnp.einsum("lb,gb->gl", oh_l, amp_l)
+        gain_long75 = 1.0 + jnp.einsum("lb,gb->gl", oh_l, amp_l75)
         xr_a = jnp.where((~is_short)[:, None], xr_a * gain_long, xr_a)
         xr75 = jnp.where((~is_short)[:, None], xr75 * gain_long75, xr75)
-        amp_s = (1.0 + over_s.astype(xr.dtype) * (_SQRT2 - 1.0)).astype(xr.dtype)  # (G,12,3)
-        amp_s75 = (1.0 + over_s.astype(xr.dtype) * (_SQRT2_75 - 1.0)).astype(xr.dtype)
-        gain_s = jnp.einsum("lb,gbs->gls", oh_s, amp_s).reshape(G, 576)
-        gain_s75 = jnp.einsum("lb,gbs->gls", oh_s, amp_s75).reshape(G, 576)
+        amp_s = (over_s.astype(xr.dtype) * (_SQRT2 - 1.0)).astype(xr.dtype)  # (G,12,3)
+        amp_s75 = (over_s.astype(xr.dtype) * (_SQRT2_75 - 1.0)).astype(xr.dtype)
+        gain_s = 1.0 + jnp.einsum("lb,gbs->gls", oh_s, amp_s).reshape(G, 576)
+        gain_s75 = 1.0 + jnp.einsum("lb,gbs->gls", oh_s, amp_s75).reshape(G, 576)
         xr_a = jnp.where(is_short[:, None], xr_a * gain_s, xr_a)
         xr75 = jnp.where(is_short[:, None], xr75 * gain_s75, xr75)
 
@@ -648,19 +718,24 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
                               jnp.all(sf_s > 0, axis=(1, 2)),
                               jnp.all(amped_l, axis=1))
         _, _, overflow2 = sbc(sf_l, sf_s, preflag)
-        done = done | (~over_any) | all_amped | overflow2
+        # fill-mode lanes run until the slack is spent (or the round
+        # cap / sf-field overflow / max_iter); others stop at the
+        # reference's exits
+        done = done | overflow2 | jnp.where(
+            filling, (slack <= 32.0) | (fill_rounds_next >= 2),
+            (~over_any) | all_amped)
         return (xr_a, xr75, xmin_l, xmin_s, sf_l, sf_s, preflag, qss_prev,
-                done, it + 1, best)
+                done, filling, fill_rounds_next, it + 1, best)
 
     def iter_cond(state):
         done = state[8]
-        it = state[9]
+        it = state[11]
         return (~jnp.all(done)) & (it < max_iter)
 
     bits0 = budget * 0
     best0 = dict(ix=(xr * 0).astype(jnp.int32), qss=qanf, bits=bits0,
                  part2=zi, compress=zi, sf_l=sf_l0, sf_s=sf_s0,
-                 preflag=zi, count1=zi, big_values=zi,
+                 preflag=zi, used=zi, count1=zi, big_values=zi,
                  r0=zi, r1=zi, a1=zi, a2=zi,
                  table_select=(xr[:, :3] * 0).astype(jnp.int32),
                  count1table_select=zi)
@@ -669,12 +744,13 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
     qss_init, _, _, _ = search_stepsize(
         xr75_0, budget.astype(xr.dtype), qanf, is_short, is_short_block, ST)
     state = (xr_abs, xr75_0, xmin_l, xmin_s, sf_l0, sf_s0,
-             zi, qss_init, zi > 1, 0, best0)
+             zi, qss_init, zi > 1, zi > 1, zi, 0, best0)
     state = jax.lax.while_loop(iter_cond, iter_body, state)
-    best = state[10]
+    best = state[12]
     silent = jnp.max(jnp.abs(xr), axis=1) == 0.0
     p23 = (best["part2"] + best["bits"]).astype(jnp.int32)
     out = dict(best)
+    out.pop("used")
     out["part2_3_length"] = jnp.where(silent, 0, p23)
     out["global_gain"] = jnp.where(
         silent, 210, jnp.round(best["qss"] + 210.0).astype(jnp.int32))

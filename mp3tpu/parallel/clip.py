@@ -118,72 +118,50 @@ def _build_programs(mesh, nch, C, version, sampling_frequency, sfreq_hz,
         out = jaxloop.outer_loop(
             xr.reshape(N, 576), demand_budget, rl, rs,
             btf != mpeg.NORM_TYPE, btf, ST)
+        sf_d = out["sf_l"].astype(jnp.int32).reshape(Kl, nch, C, 21)
         return dict(xr=xr, ratio_l=psy["ratio_l"], ratio_s=psy["ratio_s"],
                     block_type=bt, pe=psy["pe"], scfsi=scfsi,
+                    sf_fix=sf_d[:, :, 0::2],
                     p23=out["part2_3_length"].reshape(Kl, nch, C))
 
     analyze = jax.jit(jax.shard_map(
         analyze_fn, mesh=mesh, in_specs=(spec, spec),
         out_specs=dict(xr=spec, ratio_l=spec, ratio_s=spec,
-                       block_type=spec, pe=spec, scfsi=spec, p23=spec)))
+                       block_type=spec, pe=spec, scfsi=spec,
+                       sf_fix=spec, p23=spec)))
 
-    def final_fn(xr_l, rl_l, rs_l, bt_l, budget_l, scfsi_l):
+    def final_fn(xr_l, rl_l, rs_l, bt_l, budget_l, scfsi_l, sf_fix_l):
         """(Kl, ...) sharded chunks -> final coding state + payload,
-        with the same in-dispatch scfsi pair coupling as the
-        single-chip encode_final (granule pairs are chunk-local)."""
+        with the same one-batch scfsi coupling as the single-chip
+        encode_final (pairs fixed to their demand scalefactors)."""
         Kl = bt_l.shape[0]
         N = Kl * nch * C
-        M = Kl * nch * (C // 2)
+        bt = bt_l.reshape(N)
+        band = scfsi_l.reshape(Kl * nch, C // 2, 4).astype(bool)[
+            :, :, layer3._BAND_OF_SFB]
+        mask = jnp.repeat(band, 2, axis=1).reshape(N, 21)
+        vals = jnp.repeat(sf_fix_l.reshape(Kl * nch, C // 2, 21), 2,
+                          axis=1).reshape(N, 21)
+        odd = (jnp.arange(C) % 2 == 1)
+        skipm = mask & jnp.tile(odd, (Kl * nch,))[:, None]
 
-        def split(a):
-            s = a.shape[3:]
-            a4 = a.reshape((Kl, nch, C) + s)
-            return (a4[:, :, 0::2].reshape((M,) + s),
-                    a4[:, :, 1::2].reshape((M,) + s))
+        xr = xr_l.reshape(N, 576)
+        out = jaxloop.outer_loop(
+            xr, budget_l.reshape(N), rl_l.reshape(N, 21),
+            rs_l.reshape(N, 12, 3), bt != mpeg.NORM_TYPE, bt, ST,
+            sf_fix_mask=mask, sf_fix_val=vals, sf_skip_mask=skipm)
+        ix_signed = jnp.where((xr < 0) & (out["ix"] > 0),
+                              -out["ix"], out["ix"])
+        payload, _ = jaxbits.granule_payload(
+            out, ix_signed, (bt == 2), ST, payload_words,
+            skip_mask=skipm)
+        side = layer3.pack_state(out, bt)
+        return dict(side=side.reshape(Kl, nch, C, 19),
+                    payload=payload.reshape(Kl, nch, C, -1))
 
-        xr0, xr1 = split(xr_l.reshape(Kl, nch, C, 576))
-        rl0, rl1 = split(rl_l.reshape(Kl, nch, C, 21))
-        rs0, rs1 = split(rs_l.reshape(Kl, nch, C, 12, 3))
-        bt0, bt1 = split(bt_l.reshape(Kl, nch, C))
-        b0, b1 = split(budget_l.reshape(Kl, nch, C))
-
-        def enc(xr, budget, rl, rs, bt, mask=None, val=None, skip=None):
-            out = jaxloop.outer_loop(xr, budget, rl, rs,
-                                     bt != mpeg.NORM_TYPE, bt, ST,
-                                     sf_fix_mask=mask, sf_fix_val=val)
-            ix_signed = jnp.where((xr < 0) & (out["ix"] > 0),
-                                  -out["ix"], out["ix"])
-            payload, _ = jaxbits.granule_payload(
-                out, ix_signed, (bt == 2), ST, payload_words,
-                skip_mask=skip)
-            return out, payload
-
-        out0, pl0 = enc(xr0, b0, rl0, rs0, bt0)
-        mask = scfsi_l.reshape(M, 4).astype(bool)[:, layer3._BAND_OF_SFB]
-        out1, pl1 = enc(xr1, b1, rl1, rs1, bt1, mask=mask,
-                        val=out0["sf_l"], skip=mask)
-
-        def mergek(a0, a1):
-            s = a0.shape[1:]
-            a = jnp.stack([a0.reshape((Kl, nch, C // 2) + s),
-                           a1.reshape((Kl, nch, C // 2) + s)], axis=3)
-            return a.reshape((Kl, nch, C) + s)
-
-        state = {k: mergek(out0[k], out1[k]) for k in out0}
-        state = {k: v.reshape((N,) + v.shape[3:]) for k, v in state.items()}
-        packed = layer3.pack_state(state, mergek(bt0, bt1).reshape(N))
-        packed = {k: v.reshape((Kl, nch, C) + v.shape[1:])
-                  for k, v in packed.items()}
-        packed["payload"] = mergek(pl0, pl1)
-        return packed
-
-    keys = ("part2", "compress", "preflag", "count1", "big_values",
-            "r0", "r1", "a1", "a2", "table_select",
-            "count1table_select", "global_gain", "part2_3_length",
-            "block_type", "payload")
     final = jax.jit(jax.shard_map(
-        final_fn, mesh=mesh, in_specs=(spec,) * 6,
-        out_specs={k: spec for k in keys}))
+        final_fn, mesh=mesh, in_specs=(spec,) * 7,
+        out_specs=dict(side=spec, payload=spec)))
     return analyze, final
 
 
@@ -269,15 +247,27 @@ def encode_layer3_sharded(pcm, cfg, mesh=None, chunk=None, prof=None):
         with prof.stage(label):
             host = jax.device_get(final(
                 ana["xr"], ana["ratio_l"], ana["ratio_s"],
-                ana["block_type"], budget, ana["scfsi"]))
-        payload = np.asarray(host.pop("payload")) \
+                ana["block_type"], budget, ana["scfsi"],
+                ana["sf_fix"]))
+        payload = np.asarray(host["payload"]) \
             .transpose(1, 0, 2, 3).reshape(nch, Gp, -1)[:, :G]
-        host = {k: g.reshape((nch * G,) + g.shape[2:])
-                for k, g in ((k, to_grid(v)) for k, v in host.items())}
-        return host, payload
+        side = to_grid(host["side"])              # (nch, G, 19)
+        return side, payload
 
-    host, payload = run_final(target, "sharded final encode")
-    p23 = host["part2_3_length"].astype(np.int64).reshape(nch, G)
+    side, payload = run_final(target, "sharded final encode")
+    # reservoir relax (same policy as the single-chip path: recover
+    # the pool of unspent grant bits revealed by the actual p23)
+    for _relax in range(2):
+        p23 = side[:, :, 0].astype(np.int64)
+        target2 = np.minimum(
+            demand, resv_scan(pe, demand, p23, target, nframes, nch,
+                              mean_bits, resv_max))
+        raised = np.maximum(target, target2)
+        if int(np.sum(raised - target)) <= 16 * nframes:
+            break
+        target = raised
+        side, payload = run_final(target, "sharded final relax")
+    p23 = side[:, :, 0].astype(np.int64)
     for _retry in range(3):
         bad, limits = resv_guard(p23, nframes, nch, mean_bits, resv_max)
         if not bad:
@@ -286,9 +276,9 @@ def encode_layer3_sharded(pcm, cfg, mesh=None, chunk=None, prof=None):
             raise RuntimeError(
                 "reservoir guard failed to converge after dense retries")
         target = np.minimum(target, np.maximum(limits - 8, 64))
-        host, payload = run_final(target, "sharded final retry")
-        p23 = host["part2_3_length"].astype(np.int64).reshape(nch, G)
+        side, payload = run_final(target, "sharded final retry")
+        p23 = side[:, :, 0].astype(np.int64)
 
-    return _marshal_and_assemble(cfg, host, payload, p23, nframes,
+    return _marshal_and_assemble(cfg, side, payload, nframes,
                                  bits_per_frame, mean_bits, resv_max,
                                  sfb_s, prof, scfsi=scfsi_frames)

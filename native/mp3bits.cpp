@@ -631,15 +631,17 @@ extern "C" void mp3resv_scan(const double* pe, const long* demand,
         if (mode == 0) {
           used = demand[idx] < b ? demand[idx] : b;
         } else {
+          // relax mode: predict usage = the granule's NEW target,
+          // except where the target is unchanged (there the realized
+          // p23 is known exactly).  Actual usage can never exceed the
+          // target, so budgets from this scan are feasible for any
+          // re-encode -- the guard can never flag after a relax pass.
           long tgt = demand[idx] < b ? demand[idx] : b;
           if (tgt > 4095) tgt = 4095;
-          long d = tgt - p23[idx];
-          if (tgt == last_target[idx] || (d >= -2 && d <= 2)) {
-            used = p23[idx];
+          if (tgt <= last_target[idx]) {
+            used = p23[idx] < tgt ? p23[idx] : tgt;
           } else {
-            used = p23[idx] + tgt - last_target[idx];
-            if (used < 0) used = 0;
-            if (used > tgt) used = tgt;
+            used = tgt;
           }
         }
         size += mean - used;
