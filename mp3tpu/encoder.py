@@ -26,14 +26,20 @@ from .tables import layer12 as T12
 from .tables import mpeg
 
 
-#: chunk-size buckets (granules per channel per dispatch).  A clip of
-#: ANY length is processed as fixed-size chunks of the smallest bucket
-#: that covers it (capped at the last), so at most len(CHUNK_BUCKETS)
-#: programs are ever compiled -- clip length no longer shapes the XLA
-#: program (compile time was superlinear in granule count, >590 s for
-#: a 60 s clip).  Chunks also bound device memory and give streaming
-#: stdin and the multi-chip path their natural unit of work.
+#: chunk-size buckets (granules per channel per dispatch) for the
+#: multi-chip path: each device carries chunks of the smallest bucket
+#: covering its share, so at most len(CHUNK_BUCKETS) programs compile.
 CHUNK_BUCKETS = (64, 128, 256)
+
+#: super-chunk buckets for the single-chip path.  The tunnel cost
+#: model (measured): ~1.4 ms per pipelined dispatch, ~25 ms per host
+#: sync, and a full-batch rate-loop eval at 9k granules costs barely
+#: 3x one at 512 -- so dispatches should be as LARGE and as FEW as
+#: possible.  A clip is processed as full 4096-granule segments plus
+#: one remainder padded to the smallest covering bucket; at most
+#: len(SUPER_BUCKETS) programs per phase ever compile, and only the
+#: final segment carries padding.
+SUPER_BUCKETS = (256, 1024, 4096)
 
 
 def _chunk_size(G):
@@ -47,11 +53,49 @@ def _chunk_size(G):
     return CHUNK_BUCKETS[-1]
 
 
+def _plan_segments(G, buckets):
+    """Greedy super-chunk plan: [(start, n_real, n_padded)].  Only the
+    last segment is ever padded, so the carried FSM/halo state always
+    comes from real granules."""
+    plan = []
+    pos = 0
+    big = buckets[-1]
+    while G - pos > big:
+        plan.append((pos, big, big))
+        pos += big
+    rem = G - pos
+    for b in buckets:
+        if rem <= b:
+            return plan + [(pos, rem, b)]
+    return plan + [(pos, rem, big)]
+
+
 def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
-    """Encode int16 PCM to MP3 bytes via the TPU path."""
+    """Encode int16 PCM to MP3 bytes via the TPU path.
+
+    Pipeline (two host syncs per clip -- the tunnel's sync latency is
+    the dominant fixed cost, see SUPER_BUCKETS):
+
+      1. device: <=2 large analyze+demand dispatches (psy + filterbank
+         + MDCT + rate loop at the unconstrained budget 4095), FSM and
+         halo state carried between them without a sync;
+      2. host:   ONE sync drains (pe, demand p23, scfsi); the exact
+         reservoir scan (reservoir.c:101-134 policy) assigns budgets
+         with usage predicted as min(demand, budget) -- exact for
+         every granule the reservoir leaves unconstrained;
+      3. device: one final encode+pack dispatch per segment at the
+         assigned budgets, scfsi pairs fixed to their demand
+         scalefactors; emission + bit packing on device (ops/jaxbits);
+      4. host:   ONE sync drains side+payload; a relax re-scan from
+         the realized p23 recycles unspent grants (re-encoding only if
+         the recovered pool is material -- with demand-exact
+         prediction it rarely is); reservoir guard + native assembly.
+    """
     import jax
     import jax.numpy as jnp
 
+    from . import ensure_compile_cache
+    ensure_compile_cache()
     prof = prof if prof is not None else profiling.from_env()
     cfg.finalize()
     assert cfg.layer == 3
@@ -69,52 +113,44 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
     sfreq_hz = float(mpeg.S_FREQ_KHZ[cfg.version][cfg.sampling_frequency]) * 1000.0
     sfb_s = mpeg.sfb_short(cfg.version, cfg.sampling_frequency)
 
-    # ---- chunked analysis + unconstrained demand encode.  int16
-    # uplink (the TPU tunnel is ~40 MB/s with ~25 ms per-call latency);
-    # chunk dispatches are queued asynchronously -- the carried state
-    # (4 halo blocks from host PCM, FSM scalars as device arrays)
-    # never forces a host sync, so the K dispatches pipeline and the
-    # single device_get at the end drains only (pe, p23) scalars.
-    C = chunk or _chunk_size(G)
-    K = (G + C - 1) // C
-    Gp = K * C
-    blocks = np.zeros((nch, Gp, 576), np.int16)
-    blocks[:, :G] = pcm.astype(np.int16).reshape(nch, G, 576)
-    zero_halo = np.zeros((nch, 4, 576), np.float32)
+    blocks = pcm.astype(np.int16).reshape(nch, G, 576)
+    plan = _plan_segments(G, (chunk,) if chunk else SUPER_BUCKETS)
+    assert all(s % 2 == 0 or mode_gr == 1 for _, _, s in plan)
 
-    anas = []
+    # ---- phase 1: analyze + demand, one dispatch per segment,
+    # pipelined (the FSM carry is a device array; no host sync)
+    segs = []
     fsm = jnp.zeros(nch, jnp.int32)
-    with prof.stage("analyze (device)"):
-        for k in range(K):
-            halo4 = (zero_halo if k == 0 else
-                     blocks[:, k * C - 4: k * C].astype(np.float32))
-            ana = layer3.analyze_demand_chunk(
-                blocks[:, k * C:(k + 1) * C], halo4, fsm, cfg.version,
-                cfg.sampling_frequency, sfreq_hz)
+    with prof.stage("analyze+demand (device)"):
+        for pos, n_real, n_pad in plan:
+            bl = np.zeros((nch, 4 + n_pad, 576), np.int16)
+            if pos:
+                bl[:, :4] = blocks[:, pos - 4: pos]
+            bl[:, 4:4 + n_real] = blocks[:, pos: pos + n_real]
+            ana = layer3.analyze_demand_fused(
+                bl, fsm, cfg.version, cfg.sampling_frequency, sfreq_hz)
             fsm = ana["fsm_state"]
-            anas.append(ana)
-        pe_dev = jnp.concatenate([a["pe"] for a in anas])
-        small_pe = jax.device_get(pe_dev)
-
-    # scfsi flags (MPEG-1): computed on device from the analysis
-    # (loop.c:615-720 conditions); the same flags drive the paired
-    # final encode and the side-info emission
-    if mode_gr == 2:
-        scfsi_chunks = jax.device_get([a["scfsi"] for a in anas])
-        scfsi_frames = np.concatenate(
-            [s.reshape(nch, C // 2, 4) for s in scfsi_chunks],
-            axis=1)[:, :G // 2]                       # (nch, F, 4)
-    else:
-        scfsi_frames = np.zeros((nch, nframes, 4), np.int32)
+            segs.append(ana)
+        small = jax.device_get([
+            (a["pe"], a["p23"], a.get("scfsi")) for a in segs])
 
     def _cat(parts):
-        """chunk-major (nch*C, ...) parts -> (nch, G, ...) real granules."""
-        parts = [np.asarray(p) for p in parts]
-        out = np.concatenate(
-            [p.reshape((nch, C) + p.shape[1:]) for p in parts], axis=1)
-        return out[:, :G]
+        """per-segment (nch*n_pad, ...) -> (nch, G, ...) real granules."""
+        outs = []
+        for (pos, n_real, n_pad), p in zip(plan, parts):
+            p = np.asarray(p)
+            outs.append(p.reshape((nch, n_pad) + p.shape[1:])[:, :n_real])
+        return np.concatenate(outs, axis=1)
 
-    pe = _cat(np.split(small_pe, K)).astype(np.float64)
+    pe = _cat([s[0] for s in small]).astype(np.float64)
+    demand = _cat([s[1] for s in small]).astype(np.int64)
+    if mode_gr == 2:
+        scfsi_frames = np.concatenate(
+            [np.asarray(s[2])[:, :n_real // 2]
+             for (pos, n_real, n_pad), s in zip(plan, small)],
+            axis=1)                                   # (nch, F, 4)
+    else:
+        scfsi_frames = np.zeros((nch, nframes, 4), np.int32)
 
     whole_spf, _ = cfg.slots_per_frame()
     bits_per_frame = 8 * whole_spf
@@ -124,52 +160,41 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
     resv_limit = 4088 if mode_gr == 2 else 2040
     resv_max = min(max(0, 7680 - bits_per_frame), resv_limit)
 
-    # the scan needs no demand estimate: budgets are granted from pe
-    # and the reservoir level with usage predicted at the full grant
-    # (conservative); the probe below measures realized usage
-    demand = np.full((nch, G), 4095, np.int64)
     from .runtime.bitstream import resv_guard, resv_scan
 
     # ---- predictive reservoir scan (reservoir.c:101-134 policy, run
-    # natively).  Predicted usage per granule is min(demand, budget) --
-    # an upper bound on the actual usage of an encode at that budget.
-    # Because the scan's reservoir dynamics (per-frame resv_max clamp +
-    # byte alignment) are identical to the guard's, and budgets are
-    # bounded by mean + size, the targets it assigns are FEASIBLE for
-    # any actual usage <= target: the real reservoir only ever runs
-    # higher than predicted.  This reproduces the reference's policy
-    # (budget from pe + reservoir level) without its sequential chain;
-    # prediction slack merely leaves a few reservoir bits to the
-    # stuffing drain, exactly like the reference's own leftovers.
+    # natively) with usage predicted as min(demand, budget): exact for
+    # unconstrained granules (the final encode reruns them at 4095 and
+    # reproduces the demand encode), an upper bound for constrained
+    # ones -- so assigned targets are always feasible and the real
+    # reservoir only ever runs above the prediction.
     target = np.minimum(
         demand, resv_scan(pe, demand, None, None, nframes, nch,
                           mean_bits, resv_max, mode_gr))
 
-    # ---- dense encode at the final budgets, chunk by chunk;
-    # unconstrained granules rerun at 4095 and deterministically
-    # reproduce their demand encode.  Huffman emission + bit packing
-    # run on device (ops/jaxbits), so the device_get drains only the
-    # entropy-coded payload + side scalars through the tunnel.  The
+    # ---- final dense encode at the assigned budgets; unconstrained
+    # granules rerun at 4095 and reproduce their demand encode.  The
     # payload row width is sized to the clip's max granule (p23 <=
     # target elementwise), bucketed to bound recompilation.
     def run_final(target, pw, label):
-        budget = np.full((nch, Gp), 4095.0, np.float32)
-        budget[:, :G] = np.where(target < demand, target, 4095)
         with prof.stage(label):
-            hosts = [layer3.encode_final(
-                a["xr"], a["ratio_l"], a["ratio_s"], a["block_type"],
-                jnp.asarray(budget[:, k * C:(k + 1) * C].reshape(-1)),
-                cfg.version, cfg.sampling_frequency, payload_words=pw,
-                scfsi=a.get("scfsi"), sf_fix=a.get("sf_fix"), nch=nch)
-                for k, a in enumerate(anas)]
-            # concatenate ON DEVICE: the tunnel charges per fetched
-            # buffer, so drain 2 big buffers instead of 2 per chunk
-            side_dev = jnp.concatenate(
-                [h["side"].reshape(nch, C, 19) for h in hosts], axis=1)
-            pay_dev = jnp.concatenate(
-                [h["payload"].reshape(nch, C, -1) for h in hosts], axis=1)
-            side, payload = jax.device_get((side_dev, pay_dev))
-        return np.asarray(side)[:, :G], np.asarray(payload)[:, :G]
+            hosts = []
+            for (pos, n_real, n_pad), a in zip(plan, segs):
+                budget = np.full((nch, n_pad), 4095.0, np.float32)
+                t = target[:, pos: pos + n_real]
+                d = demand[:, pos: pos + n_real]
+                budget[:, :n_real] = np.where(t < d, t, 4095)
+                hosts.append(layer3.encode_final(
+                    a["xr"], a["ratio_l"], a["ratio_s"], a["block_type"],
+                    jnp.asarray(budget.reshape(-1)),
+                    cfg.version, cfg.sampling_frequency, payload_words=pw,
+                    scfsi=a.get("scfsi"), sf_fix=a.get("sf_fix"),
+                    nch=nch))
+            got = jax.device_get([(h["side"], h["payload"])
+                                  for h in hosts])
+        side = _cat([g[0] for g in got])
+        payload = _cat([g[1] for g in got])
+        return side, payload
 
     # payload-row bucket: generous (+512 bits) and coarse (32-word
     # steps) so the relax/guard re-encodes below stay on the SAME
@@ -179,56 +204,26 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
         return min(layer3.jaxbits.PAYLOAD_WORDS,
                    max(32, ((words + 31) // 32) * 32))
 
-    # ---- reservoir RELAX: the predictive scan assumed each granule
-    # would spend its whole grant, but bits(stepsize) is quantized --
-    # actual usage runs 5-10% under the grant and the unspent bits
-    # would pool in the reservoir.  The reference recycles that pool
-    # frame by frame (its reservoir level reflects true usage); we
-    # measure realized usage with a cheap p23-only PROBE (the emission
-    # graph is dead-code-eliminated), re-scan seeded by it, and only
-    # then pay for the one full encode at the relaxed grants.
-    def run_probe(target, label):
-        budget = np.full((nch, Gp), 4095.0, np.float32)
-        budget[:, :G] = np.where(target < demand, target, 4095)
-        with prof.stage(label):
-            probes = [layer3.encode_probe(
-                a["xr"], a["ratio_l"], a["ratio_s"], a["block_type"],
-                jnp.asarray(budget[:, k * C:(k + 1) * C].reshape(-1)),
-                cfg.version, cfg.sampling_frequency,
-                scfsi=a.get("scfsi"), sf_fix=a.get("sf_fix"), nch=nch)
-                for k, a in enumerate(anas)]
-            p23_dev = jnp.concatenate([pr["p23"] for pr in probes])
-            sf_dev = jnp.concatenate([pr["sf_l"] for pr in probes])
-            p23p, sfp = jax.device_get((p23_dev, sf_dev))
-        p23g = _cat(np.split(np.asarray(p23p), K)).astype(np.int64)
-        sfg = np.concatenate(
-            [np.asarray(x).reshape(nch, C, 21)
-             for x in np.split(np.asarray(sfp), K)], axis=1)
-        return p23g, sfg                       # sfg covers Gp granules
+    pw = bucket(target.max() if target.size else 1)
+    side, payload = run_final(target, pw, "final encode+pack (device)")
 
-    # probe 1 (no scfsi coupling yet); its granule-0 scalefactors
-    # become the pair-fixed values for the scfsi-coupled encodes
-    p23_probe, sf_grid = run_probe(target, "probe p23 (device)")
-    if mode_gr == 2:
-        for k, a in enumerate(anas):
-            a["sf_fix"] = np.ascontiguousarray(
-                sf_grid[:, k * C:(k + 1) * C][:, 0::2].astype(np.int32))
+    # ---- reservoir RELAX from the realized p23 (same policy as the
+    # multi-chip path, parallel/clip.py): constrained granules spend
+    # slightly under their grant; the re-scan recycles that pool.
+    # With demand-exact usage prediction the pool is usually below the
+    # materiality bound and no re-encode happens.
     for _relax in range(2):
+        p23 = side[:, :, 0].astype(np.int64)
         target2 = np.minimum(
-            demand, resv_scan(pe, demand, p23_probe, target, nframes,
+            demand, resv_scan(pe, demand, p23, target, nframes,
                               nch, mean_bits, resv_max, mode_gr))
         raised = np.maximum(target, target2)
         if int(np.sum(raised - target)) <= 16 * nframes:
             break
         target = raised
-        if _relax == 0:
-            p23_probe, _ = run_probe(target, "probe p23 relax (device)")
+        side, payload = run_final(target, pw, "final relax (device)")
 
-    pw = bucket(target.max() if target.size else 1)
-    side, payload = run_final(target, pw, "final encode+pack (device)")
-
-    # the dense re-encode is the authority on p23 (float batch-shape
-    # jitter vs the demand probes can move a lane by a few bits):
+    # the dense encode is the authority on p23:
     # (a) a granule can exceed its payload-word bucket -> silent
     #     truncation in the splice; detect and re-bucket wider;
     # (b) the reservoir guard can flag an overdraw; clamp budgets
@@ -306,6 +301,8 @@ def encode_layer12_fast(pcm, cfg: EncoderConfig):
     """
     import jax.numpy as jnp
 
+    from . import ensure_compile_cache
+    ensure_compile_cache()
     from .ops import jaxlayer12 as J
     from .runtime import alloc12
     from .runtime.bitstream import pack_elements

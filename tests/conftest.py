@@ -2,7 +2,8 @@ import os
 
 # Tests run on CPU with a virtual 8-device mesh so multi-chip sharding
 # paths compile and execute without TPU hardware (SURVEY.md section 4).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (not setdefault): the environment may carry JAX_PLATFORMS=axon.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

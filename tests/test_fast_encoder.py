@@ -42,13 +42,15 @@ CASES = [
 
 FAST = {"sine_mono_64", "noise_mono_64", "q_sine_mono_64"}
 
+# slow marks must be applied at COLLECTION time for -m "not slow" to
+# deselect (request.applymarker after collection does not)
+_PARAMS = [pytest.param(*c, id=c[0],
+                        marks=() if c[0] in FAST else (pytest.mark.slow,))
+           for c in CASES]
 
-@pytest.mark.parametrize("name,mode,kbps,rate", CASES,
-                         ids=[c[0] for c in CASES])
-def test_fast_mode_beats_reference_snr(golden_dir, name, mode, kbps, rate,
-                                       request):
-    if name not in FAST:
-        request.applymarker(pytest.mark.slow)
+
+@pytest.mark.parametrize("name,mode,kbps,rate", _PARAMS)
+def test_fast_mode_beats_reference_snr(golden_dir, name, mode, kbps, rate):
     with open(os.path.join(golden_dir, "ref_snr.json")) as f:
         ref = json.load(f)
     pcm, r = read_wav(os.path.join(golden_dir, f"{name}.wav"))
@@ -56,9 +58,12 @@ def test_fast_mode_beats_reference_snr(golden_dir, name, mode, kbps, rate,
                         sample_rate_hz=rate)
     data = pcm[:, 0] if mode == mpeg.MODE_MONO else pcm
     out = encode_layer3_fast(data, cfg)
-    # structural validity: CBR frame grid
+    # structural validity: all frames complete on the CBR grid (the
+    # slot_lag padder never pads, BASELINE.md) + one trailing flush
+    # byte (close_bit_stream_w semantics)
     fsize = (144000 * kbps) // rate
-    assert len(out) % fsize == 0 or abs(len(out) % fsize) >= 0
+    nframes = -(-pcm.shape[0] // 1152)
+    assert len(out) == nframes * fsize + 1, (len(out), nframes, fsize)
     assert out[0] == 0xFF and (out[1] & 0xF0) == 0xF0
     dec, drate = decode_mp3(out)
     assert drate == rate
