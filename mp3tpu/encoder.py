@@ -130,6 +130,10 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
             ana = layer3.analyze_demand_fused(
                 bl, fsm, cfg.version, cfg.sampling_frequency, sfreq_hz)
             fsm = ana["fsm_state"]
+            for k in ("pe", "p23", "scfsi"):
+                if ana.get(k) is not None and hasattr(ana[k],
+                                                     "copy_to_host_async"):
+                    ana[k].copy_to_host_async()   # overlap w/ next segment
             segs.append(ana)
         small = jax.device_get([
             (a["pe"], a["p23"], a.get("scfsi")) for a in segs])
@@ -165,12 +169,16 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
     # ---- predictive reservoir scan (reservoir.c:101-134 policy, run
     # natively) with usage predicted as min(demand, budget): exact for
     # unconstrained granules (the final encode reruns them at 4095 and
-    # reproduces the demand encode), an upper bound for constrained
-    # ones -- so assigned targets are always feasible and the real
-    # reservoir only ever runs above the prediction.
+    # reproduces the demand encode).  Constrained granules realize a
+    # few bits under their grant (bits(stepsize) is quantized); the
+    # delta compensation recycles that expected slack in THIS scan so
+    # the relax loop below almost never needs its re-encode.  Over-
+    # compensation is caught by the reservoir guard.
+    import os
+    delta = int(os.environ.get("MP3TPU_RELAX_DELTA", "28"))
     target = np.minimum(
         demand, resv_scan(pe, demand, None, None, nframes, nch,
-                          mean_bits, resv_max, mode_gr))
+                          mean_bits, resv_max, mode_gr, delta=delta))
 
     # ---- final dense encode at the assigned budgets; unconstrained
     # granules rerun at 4095 and reproduce their demand encode.  The
@@ -184,12 +192,16 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
                 t = target[:, pos: pos + n_real]
                 d = demand[:, pos: pos + n_real]
                 budget[:, :n_real] = np.where(t < d, t, 4095)
-                hosts.append(layer3.encode_final(
+                h = layer3.encode_final(
                     a["xr"], a["ratio_l"], a["ratio_s"], a["block_type"],
                     jnp.asarray(budget.reshape(-1)),
                     cfg.version, cfg.sampling_frequency, payload_words=pw,
                     scfsi=a.get("scfsi"), sf_fix=a.get("sf_fix"),
-                    nch=nch))
+                    nch=nch)
+                for arr in (h["side"], h["payload"]):
+                    if hasattr(arr, "copy_to_host_async"):
+                        arr.copy_to_host_async()  # overlap w/ next segment
+                hosts.append(h)
             got = jax.device_get([(h["side"], h["payload"])
                                   for h in hosts])
         side = _cat([g[0] for g in got])
@@ -218,7 +230,12 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
             demand, resv_scan(pe, demand, p23, target, nframes,
                               nch, mean_bits, resv_max, mode_gr))
         raised = np.maximum(target, target2)
-        if int(np.sum(raised - target)) <= 16 * nframes:
+        # materiality bound: a re-encode costs a full device pass; with
+        # the delta-compensated first scan the residual pool is small
+        # and redistributing under ~24 bits/frame moves decoded SNR by
+        # noise-level amounts (the unspent bits drain to ancillary,
+        # exactly like the reference's own leftovers)
+        if int(np.sum(raised - target)) <= 24 * nframes:
             break
         target = raised
         side, payload = run_final(target, pw, "final relax (device)")

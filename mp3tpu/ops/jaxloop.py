@@ -60,10 +60,22 @@ def _static(version, sampling_frequency):
     # region-0 boundary in permuted pair space: sfbs with start < 12
     r0_pairs = sum(3 * (int(sfb_s[s + 1]) - int(sfb_s[s])) // 2
                    for s in range(13) if sfb_s[s] < 12)
+    # short-band gain matrix in PERMUTED line order: row q maps the
+    # (band, window) amplification to permuted position q, so the
+    # searches can track the permuted spectrum with a matmul instead
+    # of a per-iteration 576-gather
+    oh_sp = np.zeros((576, 36))
+    for q in range(576):
+        line = int(perm[q]) // 3
+        w = int(perm[q]) % 3
+        for band in range(12):
+            if sfb_s[band] <= line < sfb_s[band + 1]:
+                oh_sp[q, band * 3 + w] = 1.0
     # per-sfb amplification one-hot for xr updates
     return dict(sfb_l=np.asarray(sfb_l), sfb_s=np.asarray(sfb_s),
                 oh_l=oh_l, bw_l=bw_l, oh_s=oh_s, bw_s=bw_s,
                 perm_short=perm, r0_pairs_short=r0_pairs,
+                oh_s_perm=oh_sp,
                 lsf=(version != mpeg.MPEG1))
 
 
@@ -164,22 +176,27 @@ _ESC_A = ESC_TABLE_A
 _ESC_B = ESC_TABLE_B
 
 
-def _region_table_bits(ix, a1, a2, bvr, perm, is_short, r0_pairs_short):
+def _region_table_bits(ixp, a1, a2, bvr, is_short, r0_pairs_short):
     """Per-region per-table bit totals + per-region max value.
 
-    Returns bits_tab (G, 3, 32), mx (G, 3)."""
-    G = ix.shape[0]
-    ixp = jnp.where(is_short[:, None], ix[:, perm], ix)
+    ixp: quantized batch ALREADY in traversal order (short granules
+    permuted sfb->window->line).  Returns bits_tab (G, 3, 32),
+    mx (G, 3).
+
+    The 256-class pair histogram is FACTORIZED into its x/y 16-class
+    components: H[g, r, a, b] = sum_p regmask[g,p,r] ohx[g,p,a]
+    ohy[g,p,b], computed as (regmask x ohx) -> (G, 288, 48) int8, then
+    one int8 MXU contraction over pairs.  An unfactorized (G, 288, 256)
+    one-hot costs ~2 GB of HBM traffic per evaluation at G=8k -- the
+    dominant rate-loop cost; the factored form moves ~8x less and is
+    exactly equal (verified): every count is an exact int32 sum.
+    """
+    G = ixp.shape[0]
     pairs = ixp.reshape(G, 288, 2)
     x = pairs[:, :, 0]
     y = pairs[:, :, 1]
     xc = jnp.minimum(x, 15)
     yc = jnp.minimum(y, 15)
-    pidx = xc * 16 + yc                                 # (G, 288)
-    # int8 one-hot: the (G, 288, 256) intermediate dominates rate-loop
-    # HBM traffic; int8 quarters the bf16 bytes and rides the MXU's
-    # int8 path with exact int32 accumulation (histogram counts <= 288)
-    onehot = jax.nn.one_hot(pidx, 256, dtype=jnp.int8)
     pos2 = 2 * jnp.arange(288)[None, :]
     long_region = jnp.where(pos2 < a1[:, None], 0,
                   jnp.where(pos2 < a2[:, None], 1, 2))
@@ -188,9 +205,13 @@ def _region_table_bits(ix, a1, a2, bvr, perm, is_short, r0_pairs_short):
     region = jnp.where(is_short[:, None], short_region, long_region)
     valid = jnp.where(is_short[:, None], True, long_valid)
     regmask = (jax.nn.one_hot(region, 3, dtype=jnp.int8)
-               * valid[:, :, None].astype(jnp.int8))
-    hist = jnp.einsum("gpc,gpr->grc", onehot, regmask,
-                      preferred_element_type=jnp.int32)  # (G, 3, 256)
+               * valid[:, :, None].astype(jnp.int8))     # (G, 288, 3)
+    ohx = jax.nn.one_hot(xc, 16, dtype=jnp.int8)
+    ohy = jax.nn.one_hot(yc, 16, dtype=jnp.int8)
+    W = (regmask[:, :, :, None] * ohx[:, :, None, :]).reshape(G, 288, 48)
+    hist = jnp.einsum("gpq,gpb->gqb", W, ohy,
+                      preferred_element_type=jnp.int32) \
+        .reshape(G, 3, 256)                              # exact counts
     # HIGHEST precision: the TPU's DEFAULT f32 matmul multiplies in
     # bf16, which rounds products like 13*27 and yields off-by-one BIT
     # COUNTS -- an undercounted part2_3_length overruns the granule in
@@ -204,7 +225,8 @@ def _region_table_bits(ix, a1, a2, bvr, perm, is_short, r0_pairs_short):
     # (fixed width) so the count is exact as long as value-15 <= linmax,
     # enforced by the table choice below.
     pmax = jnp.maximum(x, y)
-    mx = jnp.max(regmask * pmax[:, :, None].astype(jnp.float32), axis=1).astype(jnp.int32)
+    mx = jnp.max(regmask.astype(jnp.int32) * pmax[:, :, None], axis=1) \
+        .astype(jnp.int32)
     return bits_tab, mx
 
 
@@ -265,29 +287,59 @@ def _count1_bits(ix, big_values, count1):
     return jnp.where(sel == 0, b0, b1), sel
 
 
-def count_all(ix, is_short, is_short_block, ST):
+def _use_pallas():
+    """Opt-in only (MP3TPU_PALLAS=1): the factorized XLA histogram in
+    _region_table_bits measures FASTER than the Pallas kernel (the
+    kernel's VPU one-hot generation dominates its runtime), so the
+    kernel is kept as a verified alternative, not the default."""
+    from . import pallas_bits
+    return pallas_bits.backend_ok()
+
+
+def count_all(ix, is_short, is_short_block, ST, pre_permuted=False):
     """Full noiseless-coding analysis of a quantized batch.
+
+    pre_permuted: ix is already in traversal order (the searches hoist
+    the short-block permutation out of the per-candidate loop by
+    permuting xr75 once -- quantization is elementwise so it commutes).
+    count1/big_values only matter for long granules, where permuted ==
+    unpermuted, so every quantity below is permutation-independent.
 
     Returns dict: bits (G,), count1, big_values, r0, r1, a1, a2,
     table_select (G,3), count1table_select (G,), ix_max (G,)."""
-    perm = jnp.asarray(ST["perm_short"])
-    count1, big_values = calc_runlen(ix, is_short)
+    if pre_permuted:
+        ixp = ix
+    else:
+        ixp = jnp.where(is_short[:, None],
+                        ix[:, jnp.asarray(ST["perm_short"])], ix)
+    count1, big_values = calc_runlen(ixp, is_short)
     r0, r1, a1, a2 = subdivide(big_values, is_short, is_short_block, ST)
     bvr = 2 * big_values
-    bits_tab, mx = _region_table_bits(ix, a1, a2, bvr, perm, is_short,
-                                      ST["r0_pairs_short"])
+    G = ixp.shape[0]
+    if _use_pallas() and G % 8 == 0:
+        from . import pallas_bits
+        tg = 16 if G % 16 == 0 else 8
+        bits_tab, mx, b0raw, signs = pallas_bits.hist_c1(
+            ixp, a1, a2, big_values, count1, is_short, ST, tg=tg)
+        b0 = (b0raw + signs).astype(jnp.float32)
+        b1 = (4 * count1 + signs).astype(jnp.float32)
+        c1_sel = jnp.where(b0 < b1, 0, 1).astype(jnp.int32)
+        c1_bits = jnp.where(c1_sel == 0, b0, b1)
+    else:
+        bits_tab, mx = _region_table_bits(ixp, a1, a2, bvr, is_short,
+                                          ST["r0_pairs_short"])
+        c1_bits, c1_sel = _count1_bits(ixp, big_values, count1)
     tables, region_bits = _choose_tables(bits_tab, mx)
     # short blocks only use regions 0/1
     region_ok = jnp.where(is_short[:, None],
                           jnp.arange(3)[None, :] < 2,
                           jnp.ones((1, 3), bool))
     bigv_bits = jnp.sum(region_bits * region_ok, axis=1)
-    c1_bits, c1_sel = _count1_bits(ix, big_values, count1)
     tables = (tables * region_ok).astype(jnp.int32)
     return dict(bits=bigv_bits + c1_bits, count1=count1,
                 big_values=big_values, r0=r0, r1=r1, a1=a1, a2=a2,
                 table_select=tables, count1table_select=c1_sel,
-                ix_max=jnp.max(ix, axis=1))
+                ix_max=jnp.max(ixp, axis=1))
 
 
 # ---------------------------------------------------------------------------
@@ -428,26 +480,30 @@ def scale_bitcount_lsf(sf_l, sf_s, is_short, preflag):
 # stepsize search + outer loop
 # ---------------------------------------------------------------------------
 
-def _bits_at(xr75, qss, is_short, is_short_block, ST):
-    ix = quantize_pow75(xr75, qss)
-    c = count_all(ix, is_short, is_short_block, ST)
+def _bits_at(xr75p, qss, is_short, is_short_block, ST):
+    """Bits + full counts at a stepsize.  xr75p is the PERMUTED
+    |xr|^0.75 (short granules in traversal order) -- the permutation
+    is hoisted out of the search loops; quantization commutes with it.
+    The counts are permutation-independent (see count_all)."""
+    ixp = quantize_pow75(xr75p, qss)
+    c = count_all(ixp, is_short, is_short_block, ST, pre_permuted=True)
     fits_range = c["ix_max"] <= IXMAX
     bits = jnp.where(fits_range, c["bits"], 1e9)
-    return bits, ix, c
+    return bits, c
 
 
-def _bits_only(xr75, qss, is_short, is_short_block, ST):
+def _bits_only(xr75p, qss, is_short, is_short_block, ST):
     """Bit count at a candidate stepsize, nothing else.  The search
     loops below carry ONLY (G,) vectors: when ix and the count dict are
     threaded through lax.while_loop carries, every iteration rewrites
-    ~80 MB of HBM for the jnp.where merges (measured 1 ms/iter at
-    G=8192); with scalar-per-lane carries XLA fuses the whole
-    quantize+histogram pipeline into one pass over xr75 (~25 us)."""
-    bits, _, _ = _bits_at(xr75, qss, is_short, is_short_block, ST)
+    ~80 MB of HBM for the jnp.where merges; with scalar-per-lane
+    carries the whole quantize+histogram pipeline (Pallas kernel on
+    TPU, ops/pallas_bits.py) runs without materializing anything."""
+    bits, _ = _bits_at(xr75p, qss, is_short, is_short_block, ST)
     return bits
 
 
-def search_walk(xr75, budget, start_qss, is_short, is_short_block, ST,
+def search_walk(xr75p, budget, start_qss, is_short, is_short_block, ST,
                 max_steps=40):
     """Walk from a warm start: up while over budget (after scalefactor
     amplification the feasible stepsize only increases -- the reference
@@ -457,13 +513,13 @@ def search_walk(xr75, budget, start_qss, is_short, is_short_block, ST,
     Bits-only carries; counts are materialized once at the accepted
     stepsize."""
     qss = start_qss
-    bits = _bits_only(xr75, qss, is_short, is_short_block, ST)
+    bits = _bits_only(xr75p, qss, is_short, is_short_block, ST)
 
     def body(carry):
         qss, bits, it = carry
         bad = bits > budget
         qss2 = jnp.where(bad, qss + 1.0, qss)
-        b2 = _bits_only(xr75, qss2, is_short, is_short_block, ST)
+        b2 = _bits_only(xr75p, qss2, is_short, is_short_block, ST)
         return qss2, jnp.where(bad, b2, bits), it + 1
 
     def cond(carry):
@@ -471,14 +527,14 @@ def search_walk(xr75, budget, start_qss, is_short, is_short_block, ST,
         return jnp.any(bits > budget) & (it < max_steps)
 
     qss, bits, _ = jax.lax.while_loop(cond, body, (qss, bits, 0))
-    bits, ix, c = _bits_at(xr75, qss, is_short, is_short_block, ST)
-    return qss, bits, ix, c
+    bits, c = _bits_at(xr75p, qss, is_short, is_short_block, ST)
+    return qss, bits, c
 
 
-def search_stepsize(xr75, budget, qanf, is_short, is_short_block, ST,
+def search_stepsize(xr75p, budget, qanf, is_short, is_short_block, ST,
                     n_bisect=9):
     """Find an integer stepsize with bits <= budget via bisection on
-    [qanf, QMAX] plus a monotone fix-up; returns (qss, ix, counts).
+    [qanf, QMAX] plus a monotone fix-up; returns (qss, bits, counts).
     All loops carry (G,) vectors only (see _bits_only)."""
     lo = jnp.maximum(qanf, QMIN)          # may violate budget
     hi = jnp.full_like(lo, QMAX)          # always fits (all-zero ix)
@@ -486,20 +542,20 @@ def search_stepsize(xr75, budget, qanf, is_short, is_short_block, ST,
     def body(_, carry):
         lo, hi = carry
         mid = jnp.floor((lo + hi) * 0.5)
-        bits = _bits_only(xr75, mid, is_short, is_short_block, ST)
+        bits = _bits_only(xr75p, mid, is_short, is_short_block, ST)
         ok = bits <= budget
         return jnp.where(ok, lo, mid), jnp.where(ok, mid, hi)
 
     lo, hi = jax.lax.fori_loop(0, n_bisect, body, (lo, hi))
     qss = hi
-    bits = _bits_only(xr75, qss, is_short, is_short_block, ST)
+    bits = _bits_only(xr75p, qss, is_short, is_short_block, ST)
 
     # safety walk upward for any residual non-monotonicity
     def fix_body(carry):
         qss, bits, it = carry
         bad = bits > budget
         qss2 = jnp.where(bad, qss + 1.0, qss)
-        b2 = _bits_only(xr75, qss2, is_short, is_short_block, ST)
+        b2 = _bits_only(xr75p, qss2, is_short, is_short_block, ST)
         return qss2, jnp.where(bad, b2, bits), it + 1
 
     def fix_cond(carry):
@@ -513,7 +569,7 @@ def search_stepsize(xr75, budget, qanf, is_short, is_short_block, ST,
     def down_body(carry):
         qss, bits, it = carry
         qss2 = qss - 1.0
-        b2 = _bits_only(xr75, qss2, is_short, is_short_block, ST)
+        b2 = _bits_only(xr75p, qss2, is_short, is_short_block, ST)
         good = (b2 <= budget) & (qss2 >= jnp.maximum(qanf, QMIN))
         return (jnp.where(good, qss2, qss), jnp.where(good, b2, bits),
                 it + 1)
@@ -522,8 +578,8 @@ def search_stepsize(xr75, budget, qanf, is_short, is_short_block, ST,
         return carry[2] < 3
 
     qss, bits, _ = jax.lax.while_loop(down_cond, down_body, (qss, bits, 0))
-    bits, ix, c = _bits_at(xr75, qss, is_short, is_short_block, ST)
-    return qss, bits, ix, c
+    bits, c = _bits_at(xr75p, qss, is_short, is_short_block, ST)
+    return qss, bits, c
 
 
 def _bshape(mask, v):
@@ -596,14 +652,18 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
             return scale_bitcount_lsf(sf_l, sf_s, is_short, preflag)
         return scale_bitcount(sf_l, sf_s, is_short, skip_mask=skip)
 
+    perm = jnp.asarray(ST["perm_short"])
+    oh_sp = jnp.asarray(ST["oh_s_perm"], xr.dtype)        # (576, 36)
+
     def iter_body(state):
-        (xr_a, xr75, xmin_l, xmin_s, sf_l, sf_s, preflag, qss_prev, done,
-         filling, fill_rounds, it, best) = state
+        (xr_a, xr75, xr75p, xmin_l, xmin_s, sf_l, sf_s, preflag,
+         qss_prev, done, filling, fill_rounds, it, best) = state
         compress, part2, overflow = sbc(sf_l, sf_s, preflag)
         huff = jnp.maximum(budget - part2, 0)
-        qss, bits, ix, c = search_walk(
-            xr75, huff.astype(xr.dtype), qss_prev, is_short,
+        qss, bits, c = search_walk(
+            xr75p, huff.astype(xr.dtype), qss_prev, is_short,
             is_short_block, ST)
+        ix = quantize_pow75(xr75, qss)
         xfsf_l, xfsf_s = calc_noise(xr_a, ix, qss, is_short, ST)
 
         # retain the latest encoding as current best (reference keeps
@@ -636,6 +696,10 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
                          xr_a * (1.0 + oh_l @ (pre_gain - 1.0)), xr_a)
         xr75 = jnp.where(trigger_pre[:, None],
                          xr75 * (1.0 + oh_l @ (pre_gain75 - 1.0)), xr75)
+        # preemphasis is long-only, where xr75p == xr75 line for line
+        xr75p = jnp.where(trigger_pre[:, None],
+                          xr75p * (1.0 + oh_l @ (pre_gain75 - 1.0)),
+                          xr75p)
         xmin_l = jnp.where(trigger_pre[:, None],
                            xmin_l * (jnp.asarray(_SQRT2 ** (2 * _PRETAB), xr.dtype)),
                            xmin_l)
@@ -705,12 +769,18 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
         gain_long75 = 1.0 + jnp.einsum("lb,gb->gl", oh_l, amp_l75)
         xr_a = jnp.where((~is_short)[:, None], xr_a * gain_long, xr_a)
         xr75 = jnp.where((~is_short)[:, None], xr75 * gain_long75, xr75)
+        xr75p = jnp.where((~is_short)[:, None], xr75p * gain_long75,
+                          xr75p)
         amp_s = (over_s.astype(xr.dtype) * (_SQRT2 - 1.0)).astype(xr.dtype)  # (G,12,3)
         amp_s75 = (over_s.astype(xr.dtype) * (_SQRT2_75 - 1.0)).astype(xr.dtype)
         gain_s = 1.0 + jnp.einsum("lb,gbs->gls", oh_s, amp_s).reshape(G, 576)
         gain_s75 = 1.0 + jnp.einsum("lb,gbs->gls", oh_s, amp_s75).reshape(G, 576)
         xr_a = jnp.where(is_short[:, None], xr_a * gain_s, xr_a)
         xr75 = jnp.where(is_short[:, None], xr75 * gain_s75, xr75)
+        # permuted-order short gain via the precomputed line map
+        gain_sp75 = 1.0 + jnp.einsum(
+            "qB,gB->gq", oh_sp, amp_s75.reshape(G, 36))
+        xr75p = jnp.where(is_short[:, None], xr75p * gain_sp75, xr75p)
 
         over_any = jnp.any(over_l, axis=1) | jnp.any(over_s, axis=(1, 2))
         qss_prev = qss  # warm start for the next iteration
@@ -726,12 +796,12 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
         done = done | overflow2 | jnp.where(
             filling, (slack <= 32.0) | (fill_rounds_next >= 2),
             (~over_any) | all_amped)
-        return (xr_a, xr75, xmin_l, xmin_s, sf_l, sf_s, preflag, qss_prev,
-                done, filling, fill_rounds_next, it + 1, best)
+        return (xr_a, xr75, xr75p, xmin_l, xmin_s, sf_l, sf_s, preflag,
+                qss_prev, done, filling, fill_rounds_next, it + 1, best)
 
     def iter_cond(state):
-        done = state[8]
-        it = state[11]
+        done = state[9]
+        it = state[12]
         return (~jnp.all(done)) & (it < max_iter)
 
     bits0 = budget * 0
@@ -743,12 +813,14 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
                  count1table_select=zi)
     # initial full bisection once, outside the loop; iterations warm-walk
     xr75_0 = jnp.power(xr_abs, 0.75)
-    qss_init, _, _, _ = search_stepsize(
-        xr75_0, budget.astype(xr.dtype), qanf, is_short, is_short_block, ST)
-    state = (xr_abs, xr75_0, xmin_l, xmin_s, sf_l0, sf_s0,
+    xr75p_0 = jnp.where(is_short[:, None], xr75_0[:, perm], xr75_0)
+    qss_init, _, _ = search_stepsize(
+        xr75p_0, budget.astype(xr.dtype), qanf, is_short, is_short_block,
+        ST)
+    state = (xr_abs, xr75_0, xr75p_0, xmin_l, xmin_s, sf_l0, sf_s0,
              zi, qss_init, zi > 1, zi > 1, zi, 0, best0)
     state = jax.lax.while_loop(iter_cond, iter_body, state)
-    best = state[12]
+    best = state[13]
     silent = jnp.max(jnp.abs(xr), axis=1) == 0.0
     p23 = (best["part2"] + best["bits"]).astype(jnp.int32)
     out = dict(best)

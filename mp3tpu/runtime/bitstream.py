@@ -61,7 +61,8 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
             ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_int,
-            ctypes.c_long, ctypes.c_long, ctypes.c_int, ctypes.c_int]
+            ctypes.c_long, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.c_long]
         lib.mp3resv_guard.restype = ctypes.c_int
         lib.mp3resv_guard.argtypes = [
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
@@ -76,9 +77,14 @@ def _lptr(a):
 
 
 def resv_scan(pe, demand, p23, last_target, nframes, nch, mean_bits,
-              resv_max, mode_gr=2):
+              resv_max, mode_gr=2, delta=0):
     """Native reservoir budget scan.  Arrays are (nch, G) and get
-    transposed to the scan's granule-major (f, gr, ch) order."""
+    transposed to the scan's granule-major (f, gr, ch) order.
+
+    delta (mode 0): expected per-granule slack of reservoir-constrained
+    granules, folded into the usage prediction so the recycling that
+    would otherwise need a relax re-encode happens in the first scan
+    (see native/mp3bits.cpp)."""
     lib = get_lib()
 
     def gm(a, dt=np.int64):           # (nch, G) -> granule-major flat
@@ -93,7 +99,7 @@ def resv_scan(pe, demand, p23, last_target, nframes, nch, mean_bits,
     lib.mp3resv_scan(
         pe_g.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         _lptr(demand_g), _lptr(p23_g), _lptr(lt_g), _lptr(budgets),
-        nframes, nch, mean_bits, resv_max, mode, mode_gr)
+        nframes, nch, mean_bits, resv_max, mode, mode_gr, delta)
     return budgets.reshape(-1, nch).T.copy()
 
 

@@ -599,11 +599,21 @@ long mp3bits_pack(const uint32_t* values, const int32_t* lengths,
 // mp3tpu/encoder.py scan_budgets).  Layout: granule-major arrays of
 // shape (nframes, 2, nch) flattened.  mode: 0 = first scan (usage =
 // min(demand, b)), 1 = relax scan (usage from p23/last_target).
+// delta (mode 0 only): predicted usage of a reservoir-CONSTRAINED
+// granule is budget - delta instead of budget.  The rate loop's
+// realized usage runs a few bits under its grant (bits(stepsize) is
+// quantized); without compensation that slack pools in the reservoir
+// and recovering it costs a full relax re-encode.  delta folds the
+// expected slack into the first scan.  Feasibility: actual usage may
+// exceed the prediction by at most delta per granule, so the scan's
+// reservoir estimate can run ahead of the real one -- the guard scan
+// still validates the realized p23 and the encoder re-clamps on the
+// rare overdraw.
 extern "C" void mp3resv_scan(const double* pe, const long* demand,
                              const long* p23, const long* last_target,
                              long* budgets, long nframes, int nch,
                              long mean_bits, long resv_max, int mode,
-                             int mode_gr) {
+                             int mode_gr, long delta) {
   long size = 0;
   long idx = 0;
   for (long f = 0; f < nframes; ++f) {
@@ -631,7 +641,8 @@ extern "C" void mp3resv_scan(const double* pe, const long* demand,
         budgets[idx] = b;
         long used;
         if (mode == 0) {
-          used = demand[idx] < b ? demand[idx] : b;
+          used = demand[idx] < b ? demand[idx] : b - delta;
+          if (used < 0) used = 0;
         } else {
           // relax mode: predict usage = the granule's NEW target,
           // except where the target is unchanged (there the realized
