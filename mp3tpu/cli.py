@@ -59,6 +59,24 @@ def build_parser():
     return p
 
 
+def stdin_pcm_iter(little_endian, chunk_bytes=1 << 20):
+    """Yield (1, n) int16 mono blocks from stdin until EOF -- the
+    reference's 'inf' streaming mode (musicin.c:310-312) with O(chunk)
+    memory; a trailing odd byte is dropped like a short final fread."""
+    dt = "<i2" if little_endian else ">i2"
+    carry = b""
+    while True:
+        raw = sys.stdin.buffer.read(chunk_bytes)
+        if not raw:
+            break
+        raw = carry + raw
+        usable = len(raw) - (len(raw) % 2)
+        carry = raw[usable:]
+        if usable:
+            yield np.frombuffer(raw[:usable], dtype=dt) \
+                .astype(np.int16)[None, :]
+
+
 def read_input(args):
     """Returns (pcm int16 (n, nch), rate_hz or None, nch or None)."""
     if args.input == "-":
@@ -87,6 +105,33 @@ def read_input(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.input == "-" and args.layer == 3 and not args.exact:
+        # streaming stdin: unbounded input, O(window) memory
+        # (musicin.c:310-371 'inf' mode; encode.c:123-168 block reads)
+        rate = (args.sfrq * 1000.0) if args.sfrq is not None else 44100.0
+        cfg = EncoderConfig(
+            layer=3, mode=mpeg.MODE_MONO, psy_model=args.psy,
+            bitrate_kbps=args.brate, sample_rate_hz=rate,
+            emphasis=_EMPH[args.emp], copyright=args.copyright,
+            original=args.original,
+            error_protection=args.error_protection)
+        cfg.finalize()
+        if args.psy != 2:
+            print("psychoacoustic model 1 is not defined for layer 3",
+                  file=sys.stderr)
+            return 1
+        from .encoder import encode_layer3_stream
+        out_path = args.output or (args.input + ".mp3")
+        total = 0
+        with open(out_path, "wb") as f:
+            for chunk in encode_layer3_stream(
+                    stdin_pcm_iter(args.little_endian), cfg):
+                f.write(chunk)
+                total += len(chunk)
+        print(f">>> streamed {total} bytes", file=sys.stderr)
+        return 0
+
     pcm, rate = read_input(args)
     if args.sfrq is not None:
         rate = args.sfrq * 1000.0

@@ -86,10 +86,9 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
       3. device: one final encode+pack dispatch per segment at the
          assigned budgets, scfsi pairs fixed to their demand
          scalefactors; emission + bit packing on device (ops/jaxbits);
-      4. host:   ONE sync drains side+payload; a relax re-scan from
-         the realized p23 recycles unspent grants (re-encoding only if
-         the recovered pool is material -- with demand-exact
-         prediction it rarely is); reservoir guard + native assembly.
+      4. host:   ONE sync drains side+payload; reservoir guard
+         validates the realized p23 chain (clamp + re-encode only on
+         the rare overdraw) + native assembly.
     """
     import jax
     import jax.numpy as jnp
@@ -113,6 +112,11 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
     sfreq_hz = float(mpeg.S_FREQ_KHZ[cfg.version][cfg.sampling_frequency]) * 1000.0
     sfb_s = mpeg.sfb_short(cfg.version, cfg.sampling_frequency)
 
+    # float-input sanitization: NaN -> 0, +/-Inf -> full scale (the
+    # int16 cast of non-finite values is otherwise undefined)
+    if not np.issubdtype(np.asarray(pcm).dtype, np.integer):
+        pcm = np.clip(np.nan_to_num(pcm, nan=0.0, posinf=32767.0,
+                                    neginf=-32768.0), -32768, 32767)
     blocks = pcm.astype(np.int16).reshape(nch, G, 576)
     plan = _plan_segments(G, (chunk,) if chunk else SUPER_BUCKETS)
     assert all(s % 2 == 0 or mode_gr == 1 for _, _, s in plan)
@@ -171,9 +175,10 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
     # unconstrained granules (the final encode reruns them at 4095 and
     # reproduces the demand encode).  Constrained granules realize a
     # few bits under their grant (bits(stepsize) is quantized); the
-    # delta compensation recycles that expected slack in THIS scan so
-    # the relax loop below almost never needs its re-encode.  Over-
-    # compensation is caught by the reservoir guard.
+    # delta compensation recycles that expected slack in THIS scan --
+    # the windowed/streaming/sharded paths share the policy, so their
+    # outputs are bit-identical.  Over-compensation is caught by the
+    # reservoir guard.
     import os
     delta = int(os.environ.get("MP3TPU_RELAX_DELTA", "28"))
     target = np.minimum(
@@ -219,27 +224,6 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
     pw = bucket(target.max() if target.size else 1)
     side, payload = run_final(target, pw, "final encode+pack (device)")
 
-    # ---- reservoir RELAX from the realized p23 (same policy as the
-    # multi-chip path, parallel/clip.py): constrained granules spend
-    # slightly under their grant; the re-scan recycles that pool.
-    # With demand-exact usage prediction the pool is usually below the
-    # materiality bound and no re-encode happens.
-    for _relax in range(2):
-        p23 = side[:, :, 0].astype(np.int64)
-        target2 = np.minimum(
-            demand, resv_scan(pe, demand, p23, target, nframes,
-                              nch, mean_bits, resv_max, mode_gr))
-        raised = np.maximum(target, target2)
-        # materiality bound: a re-encode costs a full device pass; with
-        # the delta-compensated first scan the residual pool is small
-        # and redistributing under ~24 bits/frame moves decoded SNR by
-        # noise-level amounts (the unspent bits drain to ancillary,
-        # exactly like the reference's own leftovers)
-        if int(np.sum(raised - target)) <= 24 * nframes:
-            break
-        target = raised
-        side, payload = run_final(target, pw, "final relax (device)")
-
     # the dense encode is the authority on p23:
     # (a) a granule can exceed its payload-word bucket -> silent
     #     truncation in the splice; detect and re-bucket wider;
@@ -253,15 +237,24 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
         pw = min(layer3.jaxbits.PAYLOAD_WORDS, pw + 32)
         side, payload = run_final(target, pw, "final re-bucket (device)")
         p23 = side[:, :, 0].astype(np.int64)
-    for _retry in range(3):
+    for _retry in range(4):
         bad, limits = resv_guard(p23, nframes, nch, mean_bits, resv_max,
                                  mode_gr)
         if not bad:
             break
-        if _retry == 2:
+        if _retry == 3:
             raise RuntimeError(
-                "reservoir guard failed to converge after dense retries")
-        target = np.minimum(target, np.maximum(limits - 8, 64))
+                "reservoir guard failed on a guaranteed-feasible clamp")
+        if _retry == 2:
+            # last resort (SURVEY.md section 5.3 recovery): clamp every
+            # granule to under the frame mean -- feasible for ANY
+            # reservoir trajectory (limit = mean + size, size >= 0), so
+            # this pass always converges; quality degrades gracefully
+            # instead of aborting
+            target = np.minimum(target,
+                                max(mean_bits // nch - 8, 64))
+        else:
+            target = np.minimum(target, np.maximum(limits - 8, 64))
         side, payload = run_final(target, pw,
                                   "final encode+pack retry (device)")
         p23 = side[:, :, 0].astype(np.int64)
@@ -269,6 +262,215 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
     return _marshal_and_assemble(cfg, side, payload, nframes,
                                  bits_per_frame, mean_bits, resv_max,
                                  sfb_s, prof, scfsi=scfsi_frames)
+
+
+class StreamEncoder:
+    """Streaming Layer III encoder: O(window) memory for an unbounded
+    PCM stream (the reference reads stdin frame by frame,
+    musicin.c:310-312 + encode.c:123-168; here the unit is a
+    fixed-size granule window so every device program is reused).
+
+    All carried state is tiny and explicit: 4 halo PCM blocks, the
+    (nch,) FSM state, two reservoir levels (the scan's predictive
+    chain and the realized chain), and the native assembler's weave
+    state -- so the whole-clip scan/guard/assembly are reproduced
+    window by window exactly (the reservoir recurrences are causal),
+    and the whole thing `checkpoint()`s to a small dict from which
+    `resume()` continues with the identical output stream.
+    """
+
+    def __init__(self, cfg: EncoderConfig, window=4096, prof=None):
+        import os
+
+        import jax.numpy as jnp
+
+        from . import ensure_compile_cache
+        ensure_compile_cache()
+        self.prof = prof if prof is not None else profiling.from_env()
+        cfg.finalize()
+        assert cfg.layer == 3
+        self.cfg = cfg
+        self.window = window
+        self.nch = cfg.nchannels
+        self.spf = cfg.samples_per_frame
+        self.mode_gr = cfg.mode_gr
+        self.sfreq_hz = float(
+            mpeg.S_FREQ_KHZ[cfg.version][cfg.sampling_frequency]) * 1000.0
+        whole_spf, _ = cfg.slots_per_frame()
+        self.bits_per_frame = 8 * whole_spf
+        sideinfo_len = mpeg.sideinfo_bits(cfg.version, self.nch,
+                                          cfg.error_protection)
+        self.mean_bits = (self.bits_per_frame - sideinfo_len) // self.mode_gr
+        resv_limit = 4088 if self.mode_gr == 2 else 2040
+        self.resv_max = min(max(0, 7680 - self.bits_per_frame), resv_limit)
+        self.delta = int(os.environ.get("MP3TPU_RELAX_DELTA", "28"))
+        # remainder windows pad exactly like the one-shot plan so the
+        # two paths run the SAME device programs (bit-identity)
+        self.rem_buckets = (SUPER_BUCKETS if window == SUPER_BUCKETS[-1]
+                            else (window,))
+
+        from .runtime.bitstream import NativeAssembler
+        sfb_s = mpeg.sfb_short(cfg.version, cfg.sampling_frequency)
+        self.asm = NativeAssembler(cfg, np.asarray(sfb_s, np.int32))
+        self.fsm = jnp.zeros(self.nch, jnp.int32)
+        self.halo4 = np.zeros((self.nch, 4, 576), np.int16)
+        self.scan_size = 0        # predictive reservoir chain (scan)
+        self.real_size = 0        # realized chain (guard + assembler)
+        self.buf = np.zeros((self.nch, 0), np.int16)
+
+    def feed(self, piece):
+        """Accept PCM (int16, (n,) mono or (n, nch)); returns any MP3
+        bytes whose frames completed."""
+        piece = np.atleast_2d(np.asarray(piece, np.int16))
+        if piece.shape[0] > piece.shape[1]:
+            piece = piece.T
+        assert piece.shape[0] == self.nch, piece.shape
+        self.buf = np.concatenate([self.buf, piece], axis=1)
+        out = []
+        ws = self.window * 576
+        while self.buf.shape[1] >= ws:
+            out.append(self._encode_window(self.buf[:, :ws], False))
+            self.buf = self.buf[:, ws:]
+        return b"".join(out)
+
+    def finish(self):
+        """Flush: encode the remaining partial window and close the
+        stream on the CBR grid."""
+        if self.buf.shape[1]:
+            total = -(-self.buf.shape[1] // self.spf) * self.spf
+            pcm_w = np.pad(self.buf,
+                           ((0, 0), (0, total - self.buf.shape[1])))
+            self.buf = np.zeros((self.nch, 0), np.int16)
+            return self._encode_window(pcm_w, True)
+        return self.asm.finish()
+
+    def checkpoint(self):
+        """Small serializable dict: resume() continues the stream with
+        byte-identical output (SURVEY.md section 5.4 -- the reference
+        has nothing; the CBR layout makes the carry a few KB)."""
+        return dict(
+            fsm=np.asarray(self.fsm), halo4=self.halo4.copy(),
+            scan_size=self.scan_size, real_size=self.real_size,
+            buf=self.buf.copy(), asm=self.asm.checkpoint())
+
+    @classmethod
+    def resume(cls, cfg, ckpt, window=4096, prof=None):
+        import jax.numpy as jnp
+        enc = cls(cfg, window=window, prof=prof)
+        enc.fsm = jnp.asarray(ckpt["fsm"])
+        enc.halo4 = ckpt["halo4"].copy()
+        enc.scan_size = int(ckpt["scan_size"])
+        enc.real_size = int(ckpt["real_size"])
+        enc.buf = ckpt["buf"].copy()
+        enc.asm.restore(ckpt["asm"])
+        return enc
+
+    def _encode_window(self, pcm_w, is_last):
+        import jax
+        import jax.numpy as jnp
+
+        from .runtime.bitstream import resv_guard, resv_scan
+
+        cfg, nch, prof = self.cfg, self.nch, self.prof
+        mode_gr = self.mode_gr
+        G = pcm_w.shape[1] // 576
+        n_pad = (G if G == self.window
+                 else _plan_segments(G, self.rem_buckets)[0][2])
+        blocks = pcm_w.reshape(nch, G, 576)
+        bl = np.zeros((nch, 4 + n_pad, 576), np.int16)
+        bl[:, :4] = self.halo4
+        bl[:, 4:4 + G] = blocks
+        with prof.stage("stream analyze+demand"):
+            ana = layer3.analyze_demand_fused(
+                bl, self.fsm, cfg.version, cfg.sampling_frequency,
+                self.sfreq_hz)
+            self.fsm = ana["fsm_state"]
+            small = jax.device_get((ana["pe"], ana["p23"],
+                                    ana.get("scfsi")))
+        self.halo4 = blocks[:, -4:] if G >= 4 else np.concatenate(
+            [self.halo4[:, G - 4:], blocks], axis=1)
+
+        def cut(a):
+            a = np.asarray(a)
+            return a.reshape((nch, n_pad) + a.shape[1:])[:, :G]
+
+        pe = cut(small[0]).astype(np.float64)
+        demand = cut(small[1]).astype(np.int64)
+        nframes_w = G // mode_gr
+        if mode_gr == 2:
+            scfsi_frames = np.asarray(small[2])[:, :G // 2]
+        else:
+            scfsi_frames = np.zeros((nch, nframes_w, 4), np.int32)
+
+        target, self.scan_size = resv_scan(
+            pe, demand, None, None, nframes_w, nch, self.mean_bits,
+            self.resv_max, mode_gr, delta=self.delta,
+            size=self.scan_size)
+        target = np.minimum(demand, target)
+
+        def run_final(target, pw, label):
+            budget = np.full((nch, n_pad), 4095.0, np.float32)
+            budget[:, :G] = np.where(target < demand, target, 4095)
+            with prof.stage(label):
+                h = layer3.encode_final(
+                    ana["xr"], ana["ratio_l"], ana["ratio_s"],
+                    ana["block_type"], jnp.asarray(budget.reshape(-1)),
+                    cfg.version, cfg.sampling_frequency,
+                    payload_words=pw, scfsi=ana.get("scfsi"),
+                    sf_fix=ana.get("sf_fix"), nch=nch)
+                side, payload = jax.device_get((h["side"], h["payload"]))
+            return cut(side), cut(payload)
+
+        pw = min(layer3.jaxbits.PAYLOAD_WORDS,
+                 max(32, ((int(target.max() if target.size else 1)
+                           + 512 + 31) // 32 + 31) // 32 * 32))
+        side, payload = run_final(target, pw, "stream final")
+        p23 = side[:, :, 0].astype(np.int64)
+        while int(p23.max()) > 32 * pw:
+            pw = min(layer3.jaxbits.PAYLOAD_WORDS, pw + 32)
+            side, payload = run_final(target, pw, "stream re-bucket")
+            p23 = side[:, :, 0].astype(np.int64)
+        for _retry in range(4):
+            bad, limits, new_real = resv_guard(
+                p23, nframes_w, nch, self.mean_bits, self.resv_max,
+                mode_gr, size=self.real_size)
+            if not bad:
+                break
+            if _retry == 3:
+                raise RuntimeError("stream reservoir guard failed on a "
+                                   "guaranteed-feasible clamp")
+            if _retry == 2:
+                target = np.minimum(
+                    target, max(self.mean_bits // nch - 8, 64))
+            else:
+                target = np.minimum(target, np.maximum(limits - 8, 64))
+            side, payload = run_final(target, pw, "stream final retry")
+            p23 = side[:, :, 0].astype(np.int64)
+        self.real_size = new_real
+
+        with prof.stage("stream assembly"):
+            scfsi_fm = np.ascontiguousarray(
+                np.asarray(scfsi_frames, np.int32).transpose(1, 0, 2))
+            self.asm.encode_clip_payload(
+                nframes_w, self.bits_per_frame, self.mean_bits,
+                self.resv_max, scfsi_fm,
+                np.ascontiguousarray(np.asarray(side, np.int32)),
+                np.ascontiguousarray(payload))
+            return self.asm.finish() if is_last else self.asm.drain()
+
+
+def encode_layer3_stream(pcm_iter, cfg: EncoderConfig, window=4096,
+                         prof=None):
+    """Generator form of StreamEncoder: consume an iterator of PCM
+    pieces, yield MP3 byte chunks as frames complete."""
+    enc = StreamEncoder(cfg, window=window, prof=prof)
+    for piece in pcm_iter:
+        chunk = enc.feed(piece)
+        if chunk:
+            yield chunk
+    tail = enc.finish()
+    if tail:
+        yield tail
 
 
 def _marshal_and_assemble(cfg, side, payload, nframes,

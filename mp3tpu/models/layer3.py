@@ -148,6 +148,19 @@ def analyze_demand_fused(blocks_h4, fsm_init, version, sampling_frequency,
                                         fsm_init[ch], sfreq_hz))
     fsm_state = jnp.stack([a.pop("fsm_state") for a in anas])
     ana = {k: jnp.concatenate([a[k] for a in anas]) for k in anas[0]}
+    # ---- NaN/Inf guard (SURVEY.md section 5.2: the reference has no
+    # sanitizers at all).  A granule whose analysis went non-finite
+    # (pathological float input or an upstream numerical fault) is
+    # DEGRADED TO SILENCE on device instead of poisoning the rate loop
+    # -- the stream stays valid; n_nonfinite reports the count.
+    finite = (jnp.all(jnp.isfinite(ana["xr"]), axis=1)
+              & jnp.isfinite(ana["pe"])
+              & jnp.all(jnp.isfinite(ana["ratio_l"]), axis=1)
+              & jnp.all(jnp.isfinite(ana["ratio_s"]), axis=(1, 2)))
+    ana["xr"] = jnp.where(finite[:, None], ana["xr"], 0.0)
+    ana["pe"] = jnp.where(finite, ana["pe"], 0.0)
+    ana["ratio_l"] = jnp.where(finite[:, None], ana["ratio_l"], 0.0)
+    ana["ratio_s"] = jnp.where(finite[:, None, None], ana["ratio_s"], 0.0)
     budget = jnp.full(nch * S, 4095.0, jnp.float32)
     out = jaxloop.outer_loop(ana["xr"], budget, ana["ratio_l"],
                              ana["ratio_s"],
@@ -156,7 +169,8 @@ def analyze_demand_fused(blocks_h4, fsm_init, version, sampling_frequency,
     res = dict(xr=ana["xr"], ratio_l=ana["ratio_l"],
                ratio_s=ana["ratio_s"], block_type=ana["block_type"],
                pe=ana["pe"], p23=out["part2_3_length"].astype(jnp.int32),
-               fsm_state=fsm_state)
+               fsm_state=fsm_state,
+               n_nonfinite=jnp.sum(~finite).astype(jnp.int32))
     if not ST["lsf"]:
         res["scfsi"] = jnp.stack(
             [_scfsi_flags(a["xr"], a["ratio_l"], a["ratio_s"],

@@ -57,6 +57,7 @@ def _build_programs(mesh, nch, C, version, sampling_frequency, sfreq_hz,
                     payload_words):
     """Compile the two sharded programs for one (mesh, shape) combo."""
     ST = jaxloop._static(version, sampling_frequency)
+    lsf = bool(ST["lsf"])
     spec = P("frames")
 
     def analyze_fn(blocks_l, halo4_l):
@@ -102,12 +103,6 @@ def _build_programs(mesh, nch, C, version, sampling_frequency, sfreq_hz,
         xr = jax.vmap(lambda b, h, t: _chunk_xr(b, h, t, nch))(
             bl_f32, halo4_l, bt)                     # (Kl, nch*C, 576)
 
-        # scfsi flags per chunk (pairs never straddle chunks: C even)
-        xr4 = xr.reshape(Kl, nch, C, 576)
-        scfsi = jax.vmap(jax.vmap(
-            lambda x, rl, rs, b: layer3._scfsi_flags(x, rl, rs, b, ST)))(
-            xr4, psy["ratio_l"], psy["ratio_s"], bt)  # (Kl,nch,C/2,4)
-
         # ---- unconstrained demand encode (budget 4095)
         N = Kl * nch * C
         rl = psy["ratio_l"].reshape(N, -1)
@@ -122,32 +117,46 @@ def _build_programs(mesh, nch, C, version, sampling_frequency, sfreq_hz,
         out = jaxloop.outer_loop(
             xr.reshape(N, 576), demand_budget, rl, rs,
             btf != mpeg.NORM_TYPE, btf, ST)
-        sf_d = out["sf_l"].astype(jnp.int32).reshape(Kl, nch, C, 21)
-        return dict(xr=xr, ratio_l=psy["ratio_l"], ratio_s=psy["ratio_s"],
-                    block_type=bt, pe=psy["pe"], scfsi=scfsi,
-                    sf_fix=sf_d[:, :, 0::2],
-                    p23=out["part2_3_length"].reshape(Kl, nch, C))
+        res = dict(xr=xr, ratio_l=psy["ratio_l"], ratio_s=psy["ratio_s"],
+                   block_type=bt, pe=psy["pe"],
+                   p23=out["part2_3_length"].reshape(Kl, nch, C))
+        if not lsf:
+            # scfsi flags per chunk (pairs never straddle chunks: C
+            # even) + demand granule-0 scalefactors for pair fixing
+            xr4 = xr.reshape(Kl, nch, C, 576)
+            res["scfsi"] = jax.vmap(jax.vmap(
+                lambda x, rl, rs, b:
+                layer3._scfsi_flags(x, rl, rs, b, ST)))(
+                xr4, psy["ratio_l"], psy["ratio_s"], bt)  # (Kl,nch,C/2,4)
+            sf_d = out["sf_l"].astype(jnp.int32).reshape(Kl, nch, C, 21)
+            res["sf_fix"] = sf_d[:, :, 0::2]
+        return res
 
+    ana_out = dict(xr=spec, ratio_l=spec, ratio_s=spec,
+                   block_type=spec, pe=spec, p23=spec)
+    if not lsf:
+        ana_out.update(scfsi=spec, sf_fix=spec)
     analyze = jax.jit(jax.shard_map(
-        analyze_fn, mesh=mesh, in_specs=(spec, spec),
-        out_specs=dict(xr=spec, ratio_l=spec, ratio_s=spec,
-                       block_type=spec, pe=spec, scfsi=spec,
-                       sf_fix=spec, p23=spec)))
+        analyze_fn, mesh=mesh, in_specs=(spec, spec), out_specs=ana_out))
 
-    def final_fn(xr_l, rl_l, rs_l, bt_l, budget_l, scfsi_l, sf_fix_l):
+    def final_fn(xr_l, rl_l, rs_l, bt_l, budget_l, scfsi_l=None,
+                 sf_fix_l=None):
         """(Kl, ...) sharded chunks -> final coding state + payload,
         with the same one-batch scfsi coupling as the single-chip
-        encode_final (pairs fixed to their demand scalefactors)."""
+        encode_final (pairs fixed to their demand scalefactors);
+        MPEG-2 LSF has no scfsi (reservoir.c:53-62 frame layout)."""
         Kl = bt_l.shape[0]
         N = Kl * nch * C
         bt = bt_l.reshape(N)
-        band = scfsi_l.reshape(Kl * nch, C // 2, 4).astype(bool)[
-            :, :, layer3._BAND_OF_SFB]
-        mask = jnp.repeat(band, 2, axis=1).reshape(N, 21)
-        vals = jnp.repeat(sf_fix_l.reshape(Kl * nch, C // 2, 21), 2,
-                          axis=1).reshape(N, 21)
-        odd = (jnp.arange(C) % 2 == 1)
-        skipm = mask & jnp.tile(odd, (Kl * nch,))[:, None]
+        mask = vals = skipm = None
+        if scfsi_l is not None:
+            band = scfsi_l.reshape(Kl * nch, C // 2, 4).astype(bool)[
+                :, :, layer3._BAND_OF_SFB]
+            mask = jnp.repeat(band, 2, axis=1).reshape(N, 21)
+            vals = jnp.repeat(sf_fix_l.reshape(Kl * nch, C // 2, 21), 2,
+                              axis=1).reshape(N, 21)
+            odd = (jnp.arange(C) % 2 == 1)
+            skipm = mask & jnp.tile(odd, (Kl * nch,))[:, None]
 
         xr = xr_l.reshape(N, 576)
         out = jaxloop.outer_loop(
@@ -163,8 +172,9 @@ def _build_programs(mesh, nch, C, version, sampling_frequency, sfreq_hz,
         return dict(side=side.reshape(Kl, nch, C, 19),
                     payload=payload.reshape(Kl, nch, C, -1))
 
+    n_in = 5 if lsf else 7
     final = jax.jit(jax.shard_map(
-        final_fn, mesh=mesh, in_specs=(spec,) * 7,
+        final_fn, mesh=mesh, in_specs=(spec,) * n_in,
         out_specs=dict(side=spec, payload=spec)))
     return analyze, final
 
@@ -176,11 +186,13 @@ def encode_layer3_sharded(pcm, cfg, mesh=None, chunk=None, prof=None):
     reservoir scan, same assembler); the chunk grid is padded so every
     device carries the same number of chunks.
     """
+    import os
+
     from ..encoder import _chunk_size, _marshal_and_assemble
 
     prof = prof if prof is not None else profiling.from_env()
     cfg.finalize()
-    assert cfg.layer == 3 and cfg.version == mpeg.MPEG1
+    assert cfg.layer == 3
     mesh = mesh if mesh is not None else make_mesh()
     D = int(np.prod(mesh.devices.shape))
 
@@ -190,9 +202,10 @@ def encode_layer3_sharded(pcm, cfg, mesh=None, chunk=None, prof=None):
     nch = cfg.nchannels
     assert pcm.shape[0] == nch
     spf = cfg.samples_per_frame
+    mode_gr = cfg.mode_gr
     nframes = int(np.ceil(pcm.shape[1] / spf))
     pcm = np.pad(pcm, ((0, 0), (0, nframes * spf - pcm.shape[1])))
-    G = nframes * 2
+    G = nframes * mode_gr
     sfreq_hz = float(
         mpeg.S_FREQ_KHZ[cfg.version][cfg.sampling_frequency]) * 1000.0
     sfb_s = mpeg.sfb_short(cfg.version, cfg.sampling_frequency)
@@ -218,10 +231,13 @@ def encode_layer3_sharded(pcm, cfg, mesh=None, chunk=None, prof=None):
     with prof.stage("sharded analyze+demand"):
         ana = analyze(blocks, halo4)
         small = jax.device_get({"pe": ana["pe"], "p23": ana["p23"],
-                                "scfsi": ana["scfsi"]})
-    # (K, nch, C//2, 4) -> per-frame flags (nch, F, 4)
-    scfsi_frames = np.asarray(small["scfsi"]) \
-        .transpose(1, 0, 2, 3).reshape(nch, Gp // 2, 4)[:, :G // 2]
+                                "scfsi": ana.get("scfsi")})
+    if mode_gr == 2:
+        # (K, nch, C//2, 4) -> per-frame flags (nch, F, 4)
+        scfsi_frames = np.asarray(small["scfsi"]) \
+            .transpose(1, 0, 2, 3).reshape(nch, Gp // 2, 4)[:, :G // 2]
+    else:
+        scfsi_frames = np.zeros((nch, nframes, 4), np.int32)
 
     def to_grid(x):                   # (K, nch, C, ...) -> (nch, G, ...)
         x = np.asarray(x)
@@ -235,51 +251,49 @@ def encode_layer3_sharded(pcm, cfg, mesh=None, chunk=None, prof=None):
     bits_per_frame = 8 * whole_spf
     sideinfo_len = mpeg.sideinfo_bits(cfg.version, nch,
                                       cfg.error_protection)
-    mean_bits = (bits_per_frame - sideinfo_len) // 2
-    resv_max = min(max(0, 7680 - bits_per_frame), 4088)
+    mean_bits = (bits_per_frame - sideinfo_len) // mode_gr
+    resv_limit = 4088 if mode_gr == 2 else 2040
+    resv_max = min(max(0, 7680 - bits_per_frame), resv_limit)
 
+    # same policy as the single-chip path (mp3tpu/encoder.py): slack-
+    # compensated first scan, relax loop as a safety net
     from ..runtime.bitstream import resv_guard, resv_scan
+    delta = int(os.environ.get("MP3TPU_RELAX_DELTA", "28"))
     target = np.minimum(
         demand, resv_scan(pe, demand, None, None, nframes, nch,
-                          mean_bits, resv_max))
+                          mean_bits, resv_max, mode_gr, delta=delta))
 
     def run_final(target, label):
         budget = np.full((nch, Gp), 4095.0, np.float32)
         budget[:, :G] = np.where(target < demand, target, 4095)
         budget = np.ascontiguousarray(
             budget.reshape(nch, K, C).transpose(1, 0, 2))
+        args = (ana["xr"], ana["ratio_l"], ana["ratio_s"],
+                ana["block_type"], budget)
+        if mode_gr == 2:
+            args = args + (ana["scfsi"], ana["sf_fix"])
         with prof.stage(label):
-            host = jax.device_get(final(
-                ana["xr"], ana["ratio_l"], ana["ratio_s"],
-                ana["block_type"], budget, ana["scfsi"],
-                ana["sf_fix"]))
+            host = jax.device_get(final(*args))
         payload = np.asarray(host["payload"]) \
             .transpose(1, 0, 2, 3).reshape(nch, Gp, -1)[:, :G]
         side = to_grid(host["side"])              # (nch, G, 19)
         return side, payload
 
     side, payload = run_final(target, "sharded final encode")
-    # reservoir relax (same policy as the single-chip path: recover
-    # the pool of unspent grant bits revealed by the actual p23)
-    for _relax in range(2):
-        p23 = side[:, :, 0].astype(np.int64)
-        target2 = np.minimum(
-            demand, resv_scan(pe, demand, p23, target, nframes, nch,
-                              mean_bits, resv_max))
-        raised = np.maximum(target, target2)
-        if int(np.sum(raised - target)) <= 16 * nframes:
-            break
-        target = raised
-        side, payload = run_final(target, "sharded final relax")
     p23 = side[:, :, 0].astype(np.int64)
-    for _retry in range(3):
-        bad, limits = resv_guard(p23, nframes, nch, mean_bits, resv_max)
+    for _retry in range(4):
+        bad, limits = resv_guard(p23, nframes, nch, mean_bits, resv_max,
+                                 mode_gr)
         if not bad:
             break
-        if _retry == 2:
+        if _retry == 3:
             raise RuntimeError(
-                "reservoir guard failed to converge after dense retries")
-        target = np.minimum(target, np.maximum(limits - 8, 64))
+                "reservoir guard failed on a guaranteed-feasible clamp")
+        if _retry == 2:
+            # always-feasible clamp (limit = mean + size, size >= 0)
+            target = np.minimum(target, max(mean_bits // nch - 8, 64))
+        else:
+            target = np.minimum(target, np.maximum(limits - 8, 64))
         side, payload = run_final(target, "sharded final retry")
         p23 = side[:, :, 0].astype(np.int64)
 

@@ -46,22 +46,34 @@ def local_share(n_items, process_id=None, num_processes=None):
     return start, min(start + per, n_items)
 
 
-def encode_corpus(clips, cfg_kwargs, encode=None):
+def encode_corpus(clips, cfg_kwargs, encode=None, workers=3):
     """Encode a list of (pcm int16, sample_rate_hz) clips; returns
     (outputs, stats dict).  cfg_kwargs: EncoderConfig kwargs applied
-    per clip (sample_rate_hz comes from the clip)."""
+    per clip (sample_rate_hz comes from the clip).
+
+    workers > 1 pipelines clips through a thread pool: one clip's
+    host stages (PCM framing, reservoir scan, native assembly -- all
+    GIL-releasing numpy/ctypes) overlap another clip's device
+    dispatches, so the chip never idles between clips.  Encodes are
+    stateless per call; outputs keep corpus order."""
     if encode is None:
         from ..encoder import encode_layer3_fast
         encode = encode_layer3_fast
-    outputs = []
-    audio_s = 0.0
-    t0 = time.perf_counter()
-    for pcm, rate in clips:
+
+    def one(item):
+        pcm, rate = item
         pcm = np.atleast_2d(pcm)
-        n = max(pcm.shape)
         cfg = EncoderConfig(sample_rate_hz=rate, **cfg_kwargs)
-        outputs.append(encode(pcm, cfg))
-        audio_s += n / rate
+        return encode(pcm, cfg)
+
+    audio_s = sum(max(np.atleast_2d(p).shape) / r for p, r in clips)
+    t0 = time.perf_counter()
+    if workers > 1 and len(clips) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            outputs = list(ex.map(one, clips))
+    else:
+        outputs = [one(c) for c in clips]
     wall = time.perf_counter() - t0
     return outputs, dict(clips=len(clips), audio_s=audio_s, wall_s=wall,
                          x_realtime=audio_s / wall if wall else 0.0)

@@ -62,12 +62,25 @@ def get_lib():
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
             ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_int,
             ctypes.c_long, ctypes.c_long, ctypes.c_int, ctypes.c_int,
-            ctypes.c_long]
+            ctypes.c_long, ctypes.POINTER(ctypes.c_long)]
         lib.mp3resv_guard.restype = ctypes.c_int
         lib.mp3resv_guard.argtypes = [
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
             ctypes.c_long, ctypes.c_int, ctypes.c_long, ctypes.c_long,
-            ctypes.c_int]
+            ctypes.c_int, ctypes.POINTER(ctypes.c_long)]
+        lib.mp3bits_pending.restype = ctypes.c_long
+        lib.mp3bits_pending.argtypes = [ctypes.c_void_p]
+        lib.mp3bits_drain.restype = ctypes.c_long
+        lib.mp3bits_drain.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte)]
+        lib.mp3bits_ckpt_size.restype = ctypes.c_long
+        lib.mp3bits_ckpt_size.argtypes = [ctypes.c_void_p]
+        lib.mp3bits_ckpt_save.restype = None
+        lib.mp3bits_ckpt_save.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte)]
+        lib.mp3bits_ckpt_load.restype = None
+        lib.mp3bits_ckpt_load.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte)]
         _LIB = lib
     return _LIB
 
@@ -77,14 +90,18 @@ def _lptr(a):
 
 
 def resv_scan(pe, demand, p23, last_target, nframes, nch, mean_bits,
-              resv_max, mode_gr=2, delta=0):
+              resv_max, mode_gr=2, delta=0, size=None):
     """Native reservoir budget scan.  Arrays are (nch, G) and get
     transposed to the scan's granule-major (f, gr, ch) order.
 
     delta (mode 0): expected per-granule slack of reservoir-constrained
     granules, folded into the usage prediction so the recycling that
     would otherwise need a relax re-encode happens in the first scan
-    (see native/mp3bits.cpp)."""
+    (see native/mp3bits.cpp).
+
+    size: carried reservoir level for STREAMING windows -- the scan is
+    causal, so windowed scans with the carried level reproduce the
+    whole-clip scan exactly.  When given, returns (budgets, new_size)."""
     lib = get_lib()
 
     def gm(a, dt=np.int64):           # (nch, G) -> granule-major flat
@@ -96,21 +113,36 @@ def resv_scan(pe, demand, p23, last_target, nframes, nch, mean_bits,
     mode = 0 if last_target is None else 1
     p23_g = gm(p23 if p23 is not None else demand)
     lt_g = gm(last_target if last_target is not None else demand)
+    sio = None
+    if size is not None:
+        sio = ctypes.c_long(int(size))
     lib.mp3resv_scan(
         pe_g.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         _lptr(demand_g), _lptr(p23_g), _lptr(lt_g), _lptr(budgets),
-        nframes, nch, mean_bits, resv_max, mode, mode_gr, delta)
-    return budgets.reshape(-1, nch).T.copy()
+        nframes, nch, mean_bits, resv_max, mode, mode_gr, delta,
+        ctypes.byref(sio) if sio is not None else None)
+    out = budgets.reshape(-1, nch).T.copy()
+    if size is not None:
+        return out, int(sio.value)
+    return out
 
 
-def resv_guard(p23, nframes, nch, mean_bits, resv_max, mode_gr=2):
-    """Native feasibility-limit scan; returns (bad, limits (nch, G))."""
+def resv_guard(p23, nframes, nch, mean_bits, resv_max, mode_gr=2,
+               size=None):
+    """Native feasibility-limit scan; returns (bad, limits (nch, G)),
+    plus the carried reservoir level when `size` is given (streaming
+    windows)."""
     lib = get_lib()
     p23_g = np.ascontiguousarray(np.asarray(p23, np.int64).T.reshape(-1))
     limits = np.zeros(p23_g.shape[0], np.int64)
+    sio = ctypes.c_long(int(size)) if size is not None else None
     bad = lib.mp3resv_guard(_lptr(p23_g), _lptr(limits), nframes, nch,
-                            mean_bits, resv_max, mode_gr)
-    return bool(bad), limits.reshape(-1, nch).T.copy()
+                            mean_bits, resv_max, mode_gr,
+                            ctypes.byref(sio) if sio is not None else None)
+    lims = limits.reshape(-1, nch).T.copy()
+    if size is not None:
+        return bool(bad), lims, int(sio.value)
+    return bool(bad), lims
 
 
 def pack_elements(values, lengths):
@@ -172,11 +204,35 @@ class NativeAssembler:
             payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             payload.shape[-1])
 
-    def finish(self):
-        n = self._lib.mp3bits_finish(self._h)
+    def checkpoint(self):
+        """Serialize the weave state (reservoir level, back-pointer,
+        bit-writer phase, pending bytes, queued side records)."""
+        n = self._lib.mp3bits_ckpt_size(self._h)
         out = np.empty(n, np.uint8)
-        self._lib.mp3bits_copy(
+        self._lib.mp3bits_ckpt_save(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        return out.tobytes()
+
+    def restore(self, blob):
+        arr = np.frombuffer(blob, np.uint8)
+        self._lib.mp3bits_ckpt_load(
+            self._h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+
+    def drain(self):
+        """Streaming: hand back (and free) every byte assembled so far
+        -- memory stays bounded by one window."""
+        n = self._lib.mp3bits_pending(self._h)
+        out = np.empty(max(n, 1), np.uint8)
+        got = self._lib.mp3bits_drain(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        return out[:got].tobytes()
+
+    def finish(self):
+        self._lib.mp3bits_finish(self._h)
+        n = self._lib.mp3bits_pending(self._h)
+        out = np.empty(max(n, 1), np.uint8)
+        got = self._lib.mp3bits_drain(
             self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
         self._lib.mp3bits_free(self._h)
         self._h = None
-        return out.tobytes()
+        return out[:got].tobytes()

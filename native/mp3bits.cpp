@@ -95,6 +95,13 @@ struct Assembler {
   long bit_count = 0;
   long this_frame_size = 0;
   long bits_remaining = 0;
+  // clip-payload weave state, carried ACROSS calls so a long stream
+  // can be assembled window by window (streaming stdin): reservoir
+  // level and the next frame's main_data_begin back-pointer
+  long resv_size = 0;
+  int next_mdb = 0;
+  // bytes already handed to the caller via mp3bits_drain
+  long drained = 0;
 
   void write_side_record() {
     SideRecord rec = std::move(queue.front());
@@ -415,8 +422,9 @@ void mp3bits_encode_clip_payload(void* h, long nframes, int bits_per_frame,
   // bit (implied by the compress range; IS 13818-3 2.4.1.7)
   int mode_gr = a->version == 1 ? 2 : 1;
   long G = mode_gr * nframes;
-  long size = 0;
-  int main_data_begin = 0;
+  // carried across calls: a stream can be assembled window by window
+  long size = a->resv_size;
+  int main_data_begin = a->next_mdb;
   for (long f = 0; f < nframes; ++f) {
     int frame_p23[2][2];
     for (int gr = 0; gr < mode_gr; ++gr)
@@ -532,6 +540,106 @@ void mp3bits_encode_clip_payload(void* h, long nframes, int bits_per_frame,
     main_data_begin =
         static_cast<int>(a->bits_remaining / 8 + fwd_frame / 8 - fwd_si / 8);
   }
+  a->resv_size = size;
+  a->next_mdb = main_data_begin;
+}
+
+// Streaming drain: hand the caller every byte written so far and FREE
+// them, so a long stream's memory stays bounded by one window.  Bytes
+// in the buffer are final (bits are written MSB-first, never
+// rewritten).  `out` must have room for mp3bits_pending(h) bytes.
+extern "C" long mp3bits_pending(void* h) {
+  return static_cast<long>(static_cast<Assembler*>(h)->bw.buf.size());
+}
+
+// ---- checkpoint/resume: serialize the weave state so a long encode
+// can resume at a window boundary with the identical output stream
+// (SURVEY.md section 5.4 -- the reference has nothing; CBR determinism
+// makes this a small tuple: reservoir level, back-pointer, bit-writer
+// phase, pending bytes, and the queued side records).
+static void put_i64(std::vector<uint8_t>& v, int64_t x) {
+  for (int i = 0; i < 8; ++i) v.push_back((x >> (8 * i)) & 0xFF);
+}
+static int64_t get_i64(const unsigned char*& p) {
+  int64_t x = 0;
+  for (int i = 0; i < 8; ++i) x |= (int64_t)p[i] << (8 * i);
+  p += 8;
+  return x;
+}
+
+static std::vector<uint8_t> ckpt_bytes(const Assembler* a) {
+  std::vector<uint8_t> v;
+  put_i64(v, a->resv_size);
+  put_i64(v, a->next_mdb);
+  put_i64(v, a->bit_count);
+  put_i64(v, a->this_frame_size);
+  put_i64(v, a->bits_remaining);
+  put_i64(v, a->drained);
+  put_i64(v, (int64_t)a->bw.acc);
+  put_i64(v, a->bw.nbits);
+  put_i64(v, (int64_t)a->bw.buf.size());
+  v.insert(v.end(), a->bw.buf.begin(), a->bw.buf.end());
+  put_i64(v, (int64_t)a->queue.size());
+  for (const auto& r : a->queue) {
+    put_i64(v, r.frame_len);
+    put_i64(v, r.si_bits);
+    put_i64(v, (int64_t)r.si.size());
+    for (const auto& e : r.si) {
+      put_i64(v, e.value);
+      put_i64(v, e.length);
+    }
+  }
+  return v;
+}
+
+extern "C" long mp3bits_ckpt_size(void* h) {
+  return (long)ckpt_bytes(static_cast<Assembler*>(h)).size();
+}
+
+extern "C" void mp3bits_ckpt_save(void* h, unsigned char* out) {
+  auto v = ckpt_bytes(static_cast<Assembler*>(h));
+  memcpy(out, v.data(), v.size());
+}
+
+extern "C" void mp3bits_ckpt_load(void* h, const unsigned char* in) {
+  auto* a = static_cast<Assembler*>(h);
+  const unsigned char* p = in;
+  a->resv_size = get_i64(p);
+  a->next_mdb = (int)get_i64(p);
+  a->bit_count = get_i64(p);
+  a->this_frame_size = get_i64(p);
+  a->bits_remaining = get_i64(p);
+  a->drained = get_i64(p);
+  a->bw.acc = (uint64_t)get_i64(p);
+  a->bw.nbits = (int)get_i64(p);
+  long nbuf = get_i64(p);
+  a->bw.buf.assign(p, p + nbuf);
+  p += nbuf;
+  long nq = get_i64(p);
+  a->queue.clear();
+  for (long i = 0; i < nq; ++i) {
+    SideRecord r;
+    r.frame_len = (int)get_i64(p);
+    r.si_bits = (int)get_i64(p);
+    long ne = get_i64(p);
+    for (long j = 0; j < ne; ++j) {
+      Element e;
+      e.value = (uint32_t)get_i64(p);
+      e.length = (uint16_t)get_i64(p);
+      r.si.push_back(e);
+    }
+    a->queue.push_back(std::move(r));
+  }
+}
+
+extern "C" long mp3bits_drain(void* h, unsigned char* out) {
+  auto* a = static_cast<Assembler*>(h);
+  long avail = static_cast<long>(a->bw.buf.size());
+  if (avail <= 0) return 0;
+  if (out) memcpy(out, a->bw.buf.data(), avail);
+  a->bw.buf.erase(a->bw.buf.begin(), a->bw.buf.end());
+  a->drained += avail;
+  return avail;
 }
 
 long mp3bits_finish(void* h) {
@@ -613,8 +721,11 @@ extern "C" void mp3resv_scan(const double* pe, const long* demand,
                              const long* p23, const long* last_target,
                              long* budgets, long nframes, int nch,
                              long mean_bits, long resv_max, int mode,
-                             int mode_gr, long delta) {
-  long size = 0;
+                             int mode_gr, long delta, long* size_io) {
+  // size_io: carried reservoir level (streaming windows); the scan is
+  // CAUSAL, so windowed scans with the carried level reproduce the
+  // whole-clip scan exactly.  NULL = fresh stream.
+  long size = size_io ? *size_io : 0;
   long idx = 0;
   for (long f = 0; f < nframes; ++f) {
     for (int gr = 0; gr < mode_gr; ++gr) {
@@ -664,14 +775,16 @@ extern "C" void mp3resv_scan(const double* pe, const long* demand,
     if (size > resv_max) size = resv_max;
     size -= size % 8;
   }
+  if (size_io) *size_io = size;
 }
 
 // validation guard scan: per-granule feasibility limits given actual
 // usage (mp3tpu/encoder.py guard loop).  Returns 1 if any violation.
+// size_io: carried reservoir level for streaming windows (NULL = 0).
 extern "C" int mp3resv_guard(const long* p23, long* limits, long nframes,
                              int nch, long mean_bits, long resv_max,
-                             int mode_gr) {
-  long size = 0;
+                             int mode_gr, long* size_io) {
+  long size = size_io ? *size_io : 0;
   long idx = 0;
   int bad = 0;
   for (long f = 0; f < nframes; ++f) {
@@ -693,5 +806,6 @@ extern "C" int mp3resv_guard(const long* p23, long* limits, long nframes,
     if (size > resv_max) size = resv_max;
     size -= size % 8;
   }
+  if (size_io) *size_io = size;
   return bad;
 }

@@ -62,6 +62,29 @@ def test_sharded_clip_equals_single_chip():
 
 
 @pytest.mark.slow
+def test_sharded_clip_lsf_22050():
+    """MPEG-2 LSF (22.05 kHz, mode_gr=1, no scfsi) on the mesh decodes
+    at parity with the single-chip path (loop.c:871, musicin.c:545)."""
+    pcm = _signal(seconds=1.5, rate=22050)
+    mesh = sharding.make_mesh(devices=jax.devices()[:4])
+    cfg = EncoderConfig(layer=3, mode=mpeg.MODE_STEREO, bitrate_kbps=64,
+                        sample_rate_hz=22050)
+    out_mesh = clip.encode_layer3_sharded(pcm, cfg, mesh=mesh, chunk=16)
+    cfg1 = EncoderConfig(layer=3, mode=mpeg.MODE_STEREO, bitrate_kbps=64,
+                         sample_rate_hz=22050)
+    out_one = encode_layer3_fast(pcm, cfg1, chunk=16)
+    assert len(out_mesh) == len(out_one)
+    dec_m, rate_m = decode_mp3(out_mesh)
+    dec_o, rate_o = decode_mp3(out_one)
+    assert rate_m == rate_o == 22050
+    for c in range(2):
+        s_m = float(snr_db(pcm[c].astype(np.float64), dec_m[:, c]))
+        s_o = float(snr_db(pcm[c].astype(np.float64), dec_o[:, c]))
+        assert abs(s_m - s_o) < 0.5, (c, s_m, s_o)
+        assert s_m > 10.0, (c, s_m)
+
+
+@pytest.mark.slow
 def test_sharded_clip_scales_device_count():
     """1-, 2- and 8-device meshes produce equal-quality streams."""
     pcm = _signal(seconds=1.0)

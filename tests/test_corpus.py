@@ -47,19 +47,35 @@ _WORKER = textwrap.dedent("""
     jax.config.update("jax_platforms", "cpu")
     import numpy as np
     sys.path.insert(0, os.getcwd())
-    from mp3tpu.parallel.corpus import init_distributed, local_share
+    from mp3tpu.parallel.corpus import (encode_corpus, init_distributed,
+                                        local_share)
+    from mp3tpu.tables import mpeg
     pid = int(sys.argv[1]); port = sys.argv[2]
     p, n = init_distributed("localhost:" + port, 2, pid)
     assert n == 2 and p == pid, (p, n)
-    s, e = local_share(10)
-    print("SHARE", p, s, e, flush=True)
+    # 4-clip corpus, each process ENCODES its disjoint share
+    def clip(seed):
+        rng = np.random.RandomState(seed)
+        t = np.arange(int(0.5 * 44100)) / 44100.0
+        x = (0.25 * np.sin(2 * np.pi * (300 + 50 * seed) * t)
+             + 0.02 * rng.randn(len(t)))
+        return (np.clip(x[None, :] * 20000, -32768, 32767)
+                .astype(np.int16), 44100)
+    s, e = local_share(4)
+    outs, stats = encode_corpus(
+        [clip(i) for i in range(s, e)],
+        dict(layer=3, mode=mpeg.MODE_MONO, bitrate_kbps=64))
+    ok = all(len(o) > 500 and o[0] == 0xFF for o in outs)
+    print("SHARE", p, s, e, int(ok), round(stats["x_realtime"], 3),
+          flush=True)
 """)
 
 
 @pytest.mark.slow
-def test_two_process_distributed_smoke(tmp_path):
-    """jax.distributed initializes across 2 CPU processes and each
-    owns a disjoint corpus share."""
+def test_two_process_distributed_encode(tmp_path):
+    """jax.distributed across 2 CPU processes: each owns a disjoint
+    corpus share, ENCODES it, and reports throughput -- the
+    musicin.c:456 one-file-per-process model scaled out."""
     sock = socket.socket()
     sock.bind(("localhost", 0))
     port = str(sock.getsockname()[1])
@@ -75,8 +91,11 @@ def test_two_process_distributed_smoke(tmp_path):
         for pid in range(2)]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=120)
+        out, err = p.communicate(timeout=600)
         assert p.returncode == 0, err.decode()[-800:]
         outs.append(out.decode())
-    shares = sorted(o.split("SHARE")[1].split() for o in outs)
-    assert shares == [["0", "0", "5"], ["1", "5", "10"]], shares
+    rows = sorted(o.split("SHARE")[1].split() for o in outs)
+    assert [r[:3] for r in rows] == [["0", "0", "2"], ["1", "2", "4"]], rows
+    assert all(r[3] == "1" for r in rows), rows   # valid streams
+    agg = sum(float(r[4]) for r in rows)
+    assert agg > 0.0, rows

@@ -17,9 +17,50 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _program_flops(seconds):
+    """XLA cost-analysis FLOPs of the two big programs at the bench
+    shapes, scaled by their dispatch counts -- the defensible flops
+    number for an MFU estimate (control-flow upper bounds: while-loop
+    bodies are counted at one trip per lax.while_loop iteration
+    actually... XLA reports static flops per execution; while-loops
+    are counted once, so this UNDERCOUNTS the search loops and the MFU
+    is a lower bound on useful work)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mp3tpu.encoder import SUPER_BUCKETS, _plan_segments
+    from mp3tpu.models import layer3
+    from mp3tpu.tables import mpeg
+
+    rate = 44100
+    nframes = -(-int(seconds * rate) // 1152)
+    G = nframes * 2
+    plan = _plan_segments(G, SUPER_BUCKETS)
+    total = 0.0
+    for _, _, n_pad in plan:
+        bl = jnp.zeros((2, 4 + n_pad, 576), jnp.int16)
+        fsm = jnp.zeros(2, jnp.int32)
+        lowered = layer3.analyze_demand_fused.lower(
+            bl, fsm, mpeg.MPEG1, 0, 44100.0)
+        c = lowered.compile().cost_analysis()
+        total += float(c.get("flops", 0.0))
+        N = 2 * n_pad
+        lowered = layer3.encode_final.lower(
+            jnp.zeros((N, 576), jnp.float32),
+            jnp.zeros((N, 21), jnp.float32),
+            jnp.zeros((N, 12, 3), jnp.float32),
+            jnp.zeros(N, jnp.int32), jnp.zeros(N, jnp.float32),
+            mpeg.MPEG1, 0, payload_words=96,
+            scfsi=jnp.zeros((2, n_pad // 2, 4), jnp.int32),
+            sf_fix=jnp.zeros((2, n_pad // 2, 21), jnp.int8), nch=2)
+        c = lowered.compile().cost_analysis()
+        total += float(c.get("flops", 0.0))
+    return total
+
+
 def main():
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "PROFILE_r03.json"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "PROFILE_r04.json"
 
     import bench
     from mp3tpu.config import EncoderConfig
@@ -40,6 +81,11 @@ def main():
     wall = time.perf_counter() - t0
 
     import jax
+    try:
+        flops = _program_flops(seconds)
+    except Exception:
+        flops = None
+    peak = 197e12   # TPU v5e bf16 peak (394e12 int8)
     record = {
         "config": "layer3 stereo 44.1kHz 128kbps",
         "clip_seconds": seconds,
@@ -50,6 +96,17 @@ def main():
         "x_realtime": round(seconds / wall, 2),
         "bytes": len(out),
         "stages_s": {k: round(v, 4) for k, v in prof.stages.items()},
+        "xla_cost_flops": flops,
+        "mfu_vs_bf16_peak": (round(flops / wall / peak, 6)
+                             if flops else None),
+        "mfu_note": "XLA cost-analysis flops of the two device "
+                    "programs / wall / 197 TFLOP/s; while-loop bodies "
+                    "counted once, so this lower-bounds the search "
+                    "work.  The workload is a branch-heavy R/D search, "
+                    "not dense matmul -- wall time is dominated by "
+                    "serial search iterations and the host tunnel, "
+                    "which is why the clip-level x_realtime is the "
+                    "meaningful metric.",
     }
     with open(out_path, "w") as f:
         json.dump(record, f, indent=1)
