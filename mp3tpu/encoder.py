@@ -53,6 +53,64 @@ def _chunk_size(G):
     return CHUNK_BUCKETS[-1]
 
 
+def _plan_budgets_dev(pes, p23s, size0, plan, nch, mode_gr, mean_bits,
+                      resv_max, delta):
+    """Device-side budget assignment for a segmented clip: concat the
+    segments' (pe, demand) on device, run the reservoir scan as a
+    lax.scan (ops/jaxresv.py), and emit per-segment budget rows for
+    encode_final -- NO host sync between the demand and final passes.
+    Returns (budget_rows per segment, target (nch,G), demand (nch,G),
+    size_out)."""
+    return _plan_budgets_jit(tuple(pes), tuple(p23s), size0,
+                             tuple(plan), nch, mode_gr, mean_bits,
+                             resv_max, delta)
+
+
+def _plan_budgets_jit(pes, p23s, size0, plan, nch, mode_gr, mean_bits,
+                      resv_max, delta):
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import jaxresv
+
+    global _plan_budgets_impl
+    if _plan_budgets_impl is None:
+        from functools import partial as _partial
+
+        @_partial(jax.jit, static_argnames=(
+            "plan", "nch", "mode_gr", "mean_bits", "resv_max", "delta"))
+        def run(pes, p23s, size0, plan, nch, mode_gr, mean_bits,
+                resv_max, delta):
+            parts_pe, parts_dm = [], []
+            for (pos, n_real, n_pad), pe_s, dm_s in zip(plan, pes, p23s):
+                parts_pe.append(pe_s.reshape(nch, n_pad)[:, :n_real])
+                parts_dm.append(dm_s.reshape(nch, n_pad)[:, :n_real])
+            pe = jnp.concatenate(parts_pe, axis=1)
+            demand = jnp.concatenate(parts_dm, axis=1).astype(jnp.int32)
+            bud, size_out = jaxresv.scan_budgets(
+                jaxresv.granule_major(pe, nch, mode_gr),
+                jaxresv.granule_major(demand, nch, mode_gr),
+                size0, mean_bits, resv_max, mode_gr, nch, delta)
+            target = jnp.minimum(
+                demand, jaxresv.from_granule_major(bud, nch, mode_gr))
+            rows = []
+            for (pos, n_real, n_pad) in plan:
+                t = target[:, pos:pos + n_real]
+                d = demand[:, pos:pos + n_real]
+                b = jnp.where(t < d, t.astype(jnp.float32), 4095.0)
+                b = jnp.pad(b, ((0, 0), (0, n_pad - n_real)),
+                            constant_values=4095.0)
+                rows.append(b.reshape(-1))
+            return tuple(rows), target, demand, size_out
+
+        _plan_budgets_impl = run
+    return _plan_budgets_impl(pes, p23s, size0, plan, nch, mode_gr,
+                              mean_bits, resv_max, delta)
+
+
+_plan_budgets_impl = None
+
+
 def _plan_segments(G, buckets):
     """Greedy super-chunk plan: [(start, n_real, n_padded)] -- full
     largest-bucket segments plus ONE remainder padded to the smallest
@@ -81,22 +139,23 @@ def _plan_segments(G, buckets):
 def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
     """Encode int16 PCM to MP3 bytes via the TPU path.
 
-    Pipeline (two host syncs per clip -- the tunnel's sync latency is
-    the dominant fixed cost, see SUPER_BUCKETS):
+    The whole pipeline is ONE uninterrupted device program chain with a
+    single host sync (the tunnel's round-trip latency is the dominant
+    and most VARIABLE fixed cost, see SUPER_BUCKETS):
 
       1. device: <=2 large analyze+demand dispatches (psy + filterbank
          + MDCT + rate loop at the unconstrained budget 4095), FSM and
-         halo state carried between them without a sync;
-      2. host:   ONE sync drains (pe, demand p23, scfsi); the exact
-         reservoir scan (reservoir.c:101-134 policy) assigns budgets
-         with usage predicted as min(demand, budget) -- exact for
-         every granule the reservoir leaves unconstrained;
+         halo state carried between them;
+      2. device: the exact reservoir scan (reservoir.c:101-134 policy)
+         as a lax.scan (ops/jaxresv.py) assigns budgets with usage
+         predicted as min(demand, budget - delta) -- exact for every
+         granule the reservoir leaves unconstrained;
       3. device: one final encode+pack dispatch per segment at the
          assigned budgets, scfsi pairs fixed to their demand
          scalefactors; emission + bit packing on device (ops/jaxbits);
-      4. host:   ONE sync drains side+payload; reservoir guard
-         validates the realized p23 chain (clamp + re-encode only on
-         the rare overdraw) + native assembly.
+      4. host:   ONE sync drains side+payload+scan tensors; reservoir
+         guard validates the realized p23 chain (clamp + re-encode only
+         on the rare overdraw) + native assembly.
     """
     import jax
     import jax.numpy as jnp
@@ -129,6 +188,19 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
     plan = _plan_segments(G, (chunk,) if chunk else SUPER_BUCKETS)
     assert all(s % 2 == 0 or mode_gr == 1 for _, _, s in plan)
 
+    whole_spf, _ = cfg.slots_per_frame()
+    bits_per_frame = 8 * whole_spf
+    sideinfo_len = mpeg.sideinfo_bits(cfg.version, nch, cfg.error_protection)
+    mean_bits = (bits_per_frame - sideinfo_len) // mode_gr
+    # main_data_begin is 9 bits in MPEG-1, 8 in LSF (reservoir.c:53-62)
+    resv_limit = 4088 if mode_gr == 2 else 2040
+    resv_max = min(max(0, 7680 - bits_per_frame), resv_limit)
+    import os
+    delta = int(os.environ.get("MP3TPU_RELAX_DELTA", "28"))
+    pw = int(os.environ.get("MP3TPU_PW", "96"))
+
+    from .runtime.bitstream import resv_guard
+
     # ---- phase 1: analyze + demand, one dispatch per segment,
     # pipelined (the FSM carry is a device array; no host sync)
     segs = []
@@ -142,14 +214,19 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
             ana = layer3.analyze_demand_fused(
                 bl, fsm, cfg.version, cfg.sampling_frequency, sfreq_hz)
             fsm = ana["fsm_state"]
-            for k in ("pe", "p23", "scfsi"):
-                if ana.get(k) is not None and hasattr(ana[k],
-                                                     "copy_to_host_async"):
-                    ana[k].copy_to_host_async()   # overlap w/ next segment
             segs.append(ana)
-        small = jax.device_get([
-            (a["pe"], a["p23"], a.get("scfsi"), a["n_nonfinite"])
-            for a in segs])
+
+    # ---- phase 2: device-side reservoir scan (reservoir.c:101-134
+    # policy as a lax.scan, ops/jaxresv.py) with usage predicted as
+    # min(demand, budget - delta): exact for unconstrained granules
+    # (the final encode reruns them at 4095 and reproduces the demand
+    # encode); the delta compensation recycles the expected grant
+    # slack.  NO host sync -- the budgets feed phase 3 directly and the
+    # guard validates the realized chain after the single download.
+    with prof.stage("budget scan (device)"):
+        bud_rows, target_dev, demand_dev, _ = _plan_budgets_dev(
+            [a["pe"] for a in segs], [a["p23"] for a in segs], 0, plan,
+            nch, mode_gr, mean_bits, resv_max, delta)
 
     def _cat(parts):
         """per-segment (nch*n_pad, ...) -> (nch, G, ...) real granules."""
@@ -159,79 +236,56 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
             outs.append(p.reshape((nch, n_pad) + p.shape[1:])[:, :n_real])
         return np.concatenate(outs, axis=1)
 
-    pe = _cat([s[0] for s in small]).astype(np.float64)
-    demand = _cat([s[1] for s in small]).astype(np.int64)
-    if mode_gr == 2:
-        scfsi_frames = np.concatenate(
-            [np.asarray(s[2])[:, :n_real // 2]
-             for (pos, n_real, n_pad), s in zip(plan, small)],
-            axis=1)                                   # (nch, F, 4)
-    else:
-        scfsi_frames = np.zeros((nch, nframes, 4), np.int32)
-
-    whole_spf, _ = cfg.slots_per_frame()
-    bits_per_frame = 8 * whole_spf
-    sideinfo_len = mpeg.sideinfo_bits(cfg.version, nch, cfg.error_protection)
-    mean_bits = (bits_per_frame - sideinfo_len) // mode_gr
-    # main_data_begin is 9 bits in MPEG-1, 8 in LSF (reservoir.c:53-62)
-    resv_limit = 4088 if mode_gr == 2 else 2040
-    resv_max = min(max(0, 7680 - bits_per_frame), resv_limit)
-
-    from .runtime.bitstream import resv_guard, resv_scan
-
-    # ---- predictive reservoir scan (reservoir.c:101-134 policy, run
-    # natively) with usage predicted as min(demand, budget): exact for
-    # unconstrained granules (the final encode reruns them at 4095 and
-    # reproduces the demand encode).  Constrained granules realize a
-    # few bits under their grant (bits(stepsize) is quantized); the
-    # delta compensation recycles that expected slack in THIS scan --
-    # the windowed/streaming/sharded paths share the policy, so their
-    # outputs are bit-identical.  Over-compensation is caught by the
-    # reservoir guard.
-    import os
-    delta = int(os.environ.get("MP3TPU_RELAX_DELTA", "28"))
-    target = np.minimum(
-        demand, resv_scan(pe, demand, None, None, nframes, nch,
-                          mean_bits, resv_max, mode_gr, delta=delta))
-
-    # ---- final dense encode at the assigned budgets; unconstrained
-    # granules rerun at 4095 and reproduce their demand encode.  The
-    # payload row width is sized to the clip's max granule (p23 <=
-    # target elementwise), bucketed to bound recompilation.
-    def run_final(target, pw, label):
+    # ---- phase 3: final dense encode at the assigned budgets;
+    # unconstrained granules rerun at 4095 and reproduce their demand
+    # encode.  ONE host sync drains everything: side+payload plus the
+    # scan tensors and per-encode metrics.
+    def run_final(pw, label, budget_rows=None, target=None, demand=None,
+                  fetch_aux=False):
         with prof.stage(label):
             hosts = []
-            for (pos, n_real, n_pad), a in zip(plan, segs):
-                budget = np.full((nch, n_pad), 4095.0, np.float32)
-                t = target[:, pos: pos + n_real]
-                d = demand[:, pos: pos + n_real]
-                budget[:, :n_real] = np.where(t < d, t, 4095)
+            for i, ((pos, n_real, n_pad), a) in enumerate(zip(plan, segs)):
+                if budget_rows is not None:
+                    budget = budget_rows[i]
+                else:
+                    bh = np.full((nch, n_pad), 4095.0, np.float32)
+                    t = target[:, pos: pos + n_real]
+                    d = demand[:, pos: pos + n_real]
+                    bh[:, :n_real] = np.where(t < d, t, 4095)
+                    budget = jnp.asarray(bh.reshape(-1))
                 h = layer3.encode_final(
                     a["xr"], a["ratio_l"], a["ratio_s"], a["block_type"],
-                    jnp.asarray(budget.reshape(-1)),
-                    cfg.version, cfg.sampling_frequency, payload_words=pw,
-                    scfsi=a.get("scfsi"), sf_fix=a.get("sf_fix"),
-                    nch=nch)
+                    budget, cfg.version, cfg.sampling_frequency,
+                    payload_words=pw, scfsi=a.get("scfsi"),
+                    sf_fix=a.get("sf_fix"), nch=nch)
                 for arr in (h["side"], h["payload"]):
                     if hasattr(arr, "copy_to_host_async"):
                         arr.copy_to_host_async()  # overlap w/ next segment
                 hosts.append(h)
-            got = jax.device_get([(h["side"], h["payload"])
-                                  for h in hosts])
-        side = _cat([g[0] for g in got])
-        payload = _cat([g[1] for g in got])
+            fetch = [(h["side"], h["payload"]) for h in hosts]
+            if fetch_aux:
+                fetch.append((target_dev, demand_dev,
+                              [a.get("scfsi") for a in segs],
+                              [a["n_nonfinite"] for a in segs]))
+            got = jax.device_get(fetch)
+        side = _cat([g[0] for g in got[:len(hosts)]])
+        payload = _cat([g[1] for g in got[:len(hosts)]])
+        if fetch_aux:
+            return side, payload, got[len(hosts)]
         return side, payload
 
-    # payload-row bucket: generous (+512 bits) and coarse (32-word
-    # steps) so the relax/guard re-encodes below stay on the SAME
-    # compiled program -- every new bucket is a fresh XLA compile
-    def bucket(bits_max):
-        words = (int(bits_max) + 512 + 31) // 32
-        return min(layer3.jaxbits.PAYLOAD_WORDS,
-                   max(32, ((words + 31) // 32) * 32))
-
-    pw = bucket(target.max() if target.size else 1)
-    side, payload = run_final(target, pw, "final encode+pack (device)")
+    side, payload, aux = run_final(pw, "final encode+pack (device)",
+                                   budget_rows=bud_rows, fetch_aux=True)
+    target = np.asarray(aux[0]).astype(np.int64)
+    demand = np.asarray(aux[1]).astype(np.int64)
+    if mode_gr == 2:
+        scfsi_frames = np.concatenate(
+            [np.asarray(s)[:, :n_real // 2]
+             for (pos, n_real, n_pad), s in zip(plan, aux[2])],
+            axis=1)                                   # (nch, F, 4)
+    else:
+        scfsi_frames = np.zeros((nch, nframes, 4), np.int32)
+    n_nonfinite = int(sum(int(x) for x in aux[3]))
 
     # the dense encode is the authority on p23:
     # (a) a granule can exceed its payload-word bucket -> silent
@@ -244,7 +298,8 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
         assert pw < layer3.jaxbits.PAYLOAD_WORDS, \
             "granule exceeds the maximum payload row"
         pw = min(layer3.jaxbits.PAYLOAD_WORDS, pw + 32)
-        side, payload = run_final(target, pw, "final re-bucket (device)")
+        side, payload = run_final(pw, "final re-bucket (device)",
+                                  target=target, demand=demand)
         p23 = side[:, :, 0].astype(np.int64)
     for _retry in range(4):
         bad, limits = resv_guard(p23, nframes, nch, mean_bits, resv_max,
@@ -264,8 +319,8 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
                                 max(mean_bits // nch - 8, 64))
         else:
             target = np.minimum(target, np.maximum(limits - 8, 64))
-        side, payload = run_final(target, pw,
-                                  "final encode+pack retry (device)")
+        side, payload = run_final(pw, "final encode+pack retry (device)",
+                                  target=target, demand=demand)
         p23 = side[:, :, 0].astype(np.int64)
 
     out = _marshal_and_assemble(cfg, side, payload, nframes,
@@ -279,7 +334,7 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
         frames=nframes, bytes=len(out), audio_s=round(secs, 3),
         kbps=round(len(out) * 8 / max(secs, 1e-9) / 1000.0, 2),
         segments=len(plan), guard_retries=_retry,
-        nonfinite_granules=int(sum(int(s[3]) for s in small)),
+        nonfinite_granules=n_nonfinite,
         mean_p23=float(p23.mean()), resv_delta=delta)
     return out
 
@@ -324,6 +379,7 @@ class StreamEncoder:
         resv_limit = 4088 if self.mode_gr == 2 else 2040
         self.resv_max = min(max(0, 7680 - self.bits_per_frame), resv_limit)
         self.delta = int(os.environ.get("MP3TPU_RELAX_DELTA", "28"))
+        self.pw = int(os.environ.get("MP3TPU_PW", "96"))
         # remainder windows pad exactly like the one-shot plan so the
         # two paths run the SAME device programs (bit-identity)
         self.rem_buckets = (SUPER_BUCKETS if window == SUPER_BUCKETS[-1]
@@ -377,7 +433,8 @@ class StreamEncoder:
         has nothing; the CBR layout makes the carry a few KB)."""
         return dict(
             fsm=np.asarray(self.fsm), halo4=self.halo4.copy(),
-            scan_size=self.scan_size, real_size=self.real_size,
+            scan_size=int(np.asarray(self.scan_size)),
+            real_size=self.real_size,
             buf=self.buf.copy(), asm=self.asm.checkpoint())
 
     @classmethod
@@ -396,7 +453,7 @@ class StreamEncoder:
         import jax
         import jax.numpy as jnp
 
-        from .runtime.bitstream import resv_guard, resv_scan
+        from .runtime.bitstream import resv_guard
 
         cfg, nch, prof = self.cfg, self.nch, self.prof
         mode_gr = self.mode_gr
@@ -412,50 +469,62 @@ class StreamEncoder:
                 bl, self.fsm, cfg.version, cfg.sampling_frequency,
                 self.sfreq_hz)
             self.fsm = ana["fsm_state"]
-            small = jax.device_get((ana["pe"], ana["p23"],
-                                    ana.get("scfsi")))
         self.halo4 = blocks[:, -4:] if G >= 4 else np.concatenate(
             [self.halo4[:, G - 4:], blocks], axis=1)
+
+        # device-side reservoir scan; the carried level stays a device
+        # scalar, so a window runs with ONE host sync (the download)
+        bud_rows, target_dev, demand_dev, size_out = _plan_budgets_dev(
+            [ana["pe"]], [ana["p23"]], self.scan_size,
+            [(0, G, n_pad)], nch, mode_gr, self.mean_bits,
+            self.resv_max, self.delta)
+        self.scan_size = size_out
 
         def cut(a):
             a = np.asarray(a)
             return a.reshape((nch, n_pad) + a.shape[1:])[:, :G]
 
-        pe = cut(small[0]).astype(np.float64)
-        demand = cut(small[1]).astype(np.int64)
         nframes_w = G // mode_gr
-        if mode_gr == 2:
-            scfsi_frames = np.asarray(small[2])[:, :G // 2]
-        else:
-            scfsi_frames = np.zeros((nch, nframes_w, 4), np.int32)
 
-        target, self.scan_size = resv_scan(
-            pe, demand, None, None, nframes_w, nch, self.mean_bits,
-            self.resv_max, mode_gr, delta=self.delta,
-            size=self.scan_size)
-        target = np.minimum(demand, target)
-
-        def run_final(target, pw, label):
-            budget = np.full((nch, n_pad), 4095.0, np.float32)
-            budget[:, :G] = np.where(target < demand, target, 4095)
+        def run_final(pw, label, budget_rows=None, target=None,
+                      demand=None, fetch_aux=False):
+            if budget_rows is not None:
+                budget = budget_rows[0]
+            else:
+                bh = np.full((nch, n_pad), 4095.0, np.float32)
+                bh[:, :G] = np.where(target < demand, target, 4095)
+                budget = jnp.asarray(bh.reshape(-1))
             with prof.stage(label):
                 h = layer3.encode_final(
                     ana["xr"], ana["ratio_l"], ana["ratio_s"],
-                    ana["block_type"], jnp.asarray(budget.reshape(-1)),
+                    ana["block_type"], budget,
                     cfg.version, cfg.sampling_frequency,
                     payload_words=pw, scfsi=ana.get("scfsi"),
                     sf_fix=ana.get("sf_fix"), nch=nch)
-                side, payload = jax.device_get((h["side"], h["payload"]))
-            return cut(side), cut(payload)
+                fetch = [h["side"], h["payload"]]
+                if fetch_aux:
+                    fetch.append((target_dev, demand_dev,
+                                  ana.get("scfsi"), ana["n_nonfinite"]))
+                got = jax.device_get(fetch)
+            if fetch_aux:
+                return cut(got[0]), cut(got[1]), got[2]
+            return cut(got[0]), cut(got[1])
 
-        pw = min(layer3.jaxbits.PAYLOAD_WORDS,
-                 max(32, ((int(target.max() if target.size else 1)
-                           + 512 + 31) // 32 + 31) // 32 * 32))
-        side, payload = run_final(target, pw, "stream final")
+        pw = self.pw
+        side, payload, aux = run_final(pw, "stream final",
+                                       budget_rows=bud_rows,
+                                       fetch_aux=True)
+        target = np.asarray(aux[0]).astype(np.int64)
+        demand = np.asarray(aux[1]).astype(np.int64)
+        if mode_gr == 2:
+            scfsi_frames = np.asarray(aux[2])[:, :G // 2]
+        else:
+            scfsi_frames = np.zeros((nch, nframes_w, 4), np.int32)
         p23 = side[:, :, 0].astype(np.int64)
         while int(p23.max()) > 32 * pw:
             pw = min(layer3.jaxbits.PAYLOAD_WORDS, pw + 32)
-            side, payload = run_final(target, pw, "stream re-bucket")
+            side, payload = run_final(pw, "stream re-bucket",
+                                      target=target, demand=demand)
             p23 = side[:, :, 0].astype(np.int64)
         for _retry in range(4):
             bad, limits, new_real = resv_guard(
@@ -471,7 +540,8 @@ class StreamEncoder:
                     target, max(self.mean_bits // nch - 8, 64))
             else:
                 target = np.minimum(target, np.maximum(limits - 8, 64))
-            side, payload = run_final(target, pw, "stream final retry")
+            side, payload = run_final(pw, "stream final retry",
+                                      target=target, demand=demand)
             p23 = side[:, :, 0].astype(np.int64)
         self.real_size = new_real
 
