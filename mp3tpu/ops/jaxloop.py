@@ -592,8 +592,22 @@ _SQRT2 = np.sqrt(2.0)
 _SQRT2_75 = np.sqrt(2.0) ** 0.75
 
 
+def _default_max_iter():
+    """Outer distortion-loop cap (MP3TPU_MAX_ITER).  Swept on the
+    quality fixtures: decoded SNR is flat or IMPROVES as the cap drops
+    from 10 to 3 (late amplification rounds trade global quantizer
+    precision for per-band resolution the SNR never recovers), while
+    each round costs ~14 ms per 8k-granule pass.  Default 6 keeps the
+    psychoacoustic amplification mechanism meaningful (most granules
+    converge in 3-6 rounds, loop.c:415-558) at ~60% of the cap-10
+    cost; it is NOT pushed lower because the SNR metric undervalues
+    the noise-shaping the loop exists to do."""
+    import os
+    return int(os.environ.get("MP3TPU_MAX_ITER", "6"))
+
+
 def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
-               ST, max_iter=10, sf_fix_mask=None, sf_fix_val=None,
+               ST, max_iter=None, sf_fix_mask=None, sf_fix_val=None,
                sf_skip_mask=None):
     # max_iter=10: decoded SNR on every quality fixture is unchanged
     # vs 24 (the last amplification rounds only juggle bits between
@@ -609,6 +623,8 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
     bits are excluded from part2 (they are not transmitted).
     Returns dict of per-granule coding decisions.
     """
+    if max_iter is None:
+        max_iter = _default_max_iter()
     G = xr.shape[0]
     is_short = is_short_block & (block_type == 2)
     xr_abs = jnp.abs(xr)
