@@ -31,34 +31,28 @@ def make_clip(seed, seconds, rate):
 
 
 def main():
-    from mp3tpu.config import EncoderConfig
-    from mp3tpu.encoder import encode_layer3_fast
+    from mp3tpu.parallel.corpus import encode_corpus_batched
     from mp3tpu.tables import mpeg
 
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     rate = 44100
-    clips = [make_clip(s, seconds, rate) for s in range(n_clips)]
+    clips = [(make_clip(s, seconds, rate), rate) for s in range(n_clips)]
+    kw = dict(layer=3, mode=mpeg.MODE_STEREO, bitrate_kbps=128)
 
-    def enc(pcm):
-        cfg = EncoderConfig(layer=3, mode=mpeg.MODE_STEREO,
-                            bitrate_kbps=128, sample_rate_hz=rate)
-        return encode_layer3_fast(pcm, cfg)
+    # warmup: compile the batched-lane programs
+    outs, _ = encode_corpus_batched(clips[:batch], kw, batch=batch)
+    assert all(len(o) > 1000 for o in outs)
 
-    out = enc(clips[0])              # warmup: compile the chunk programs
-    assert len(out) > 1000
+    outs, stats = encode_corpus_batched(clips, kw, batch=batch)
+    assert all(len(o) > 1000 for o in outs)
 
-    t0 = time.perf_counter()
-    total = 0
-    for pcm in clips:
-        total += len(enc(pcm))
-    dt = time.perf_counter() - t0
-    assert total > 1000 * n_clips
-
-    rt = n_clips * seconds / dt
+    rt = stats["x_realtime"]
     print(json.dumps({
         "metric": "layer3 corpus aggregate realtime factor "
-                  f"({n_clips} clips x {seconds:.0f}s, stereo 128kbps, 1 chip)",
+                  f"({n_clips} clips x {seconds:.0f}s, stereo 128kbps, "
+                  f"lane-batch {batch}, 1 chip)",
         "value": round(rt, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rt / BASELINE_RT, 3),

@@ -46,6 +46,194 @@ def local_share(n_items, process_id=None, num_processes=None):
     return start, min(start + per, n_items)
 
 
+def encode_corpus_batched(clips, cfg_kwargs, batch=8, prof=None):
+    """Encode many independent same-rate clips by STACKING them as
+    extra channel lanes in one device pipeline.
+
+    Channel lanes in the analyzer are fully independent streams, so B
+    clips of the same configuration ride one analyze+demand dispatch,
+    one final encode+pack dispatch and ONE host sync per group --
+    amortizing the tunnel costs that dominate small-clip encodes.  The
+    per-clip reservoir scans run on device (ops/jaxresv.py); guard +
+    assembly stay per clip on host.  This is the aggregate-throughput
+    mode for the BASELINE.json 1,000-clip corpus; for one long clip use
+    the mesh path (parallel/clip.py) instead.
+
+    clips: list of (pcm int16, rate); all rates/configs must match.
+    Returns (outputs, stats) like encode_corpus."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import encoder as E
+    from ..models import layer3
+    from ..runtime import profiling
+    from ..runtime.bitstream import resv_guard
+    from ..tables import mpeg
+
+    if prof is None:
+        prof = profiling.from_env()
+
+    t0 = time.perf_counter()
+    rate = clips[0][1]
+    assert all(r == rate for _, r in clips)
+    cfg0 = EncoderConfig(sample_rate_hz=rate, **cfg_kwargs)
+    cfg0.finalize()
+    assert cfg0.layer == 3
+    nch = cfg0.nchannels
+    mode_gr = cfg0.mode_gr
+    spf = cfg0.samples_per_frame
+    sfreq_hz = float(
+        mpeg.S_FREQ_KHZ[cfg0.version][cfg0.sampling_frequency]) * 1000.0
+    sfb_s = mpeg.sfb_short(cfg0.version, cfg0.sampling_frequency)
+    whole_spf, _ = cfg0.slots_per_frame()
+    bits_per_frame = 8 * whole_spf
+    sideinfo_len = mpeg.sideinfo_bits(cfg0.version, nch,
+                                      cfg0.error_protection)
+    mean_bits = (bits_per_frame - sideinfo_len) // mode_gr
+    resv_limit = 4088 if mode_gr == 2 else 2040
+    resv_max = min(max(0, 7680 - bits_per_frame), resv_limit)
+    import os
+    delta = int(os.environ.get("MP3TPU_RELAX_DELTA", "28"))
+    pw = int(os.environ.get("MP3TPU_PW", "96"))
+
+    outputs = [None] * len(clips)
+    audio_s = 0.0
+    for g0 in range(0, len(clips), batch):
+        group = clips[g0:g0 + batch]
+        B = len(group)
+        framed = []
+        for pcm, _ in group:
+            pcm = np.atleast_2d(np.asarray(pcm, np.int16))
+            if pcm.shape[0] > pcm.shape[1]:
+                pcm = pcm.T
+            assert pcm.shape[0] == nch
+            audio_s += pcm.shape[1] / rate
+            nf = -(-pcm.shape[1] // spf)
+            framed.append((np.pad(pcm, ((0, 0),
+                                        (0, nf * spf - pcm.shape[1]))),
+                           nf))
+        G_max = max(nf for _, nf in framed) * mode_gr
+        plan = E._plan_segments(G_max, E.SUPER_BUCKETS)
+        L = B * nch
+        blocks = np.zeros((L, G_max, 576), np.int16)
+        for b, (pcm, nf) in enumerate(framed):
+            blocks[b * nch:(b + 1) * nch, :nf * mode_gr] = \
+                pcm.reshape(nch, nf * mode_gr, 576)
+
+        segs = []
+        fsm = jnp.zeros(L, jnp.int32)
+        for pos, n_real, n_pad in plan:
+            bl = np.zeros((L, 4 + n_pad, 576), np.int16)
+            if pos:
+                bl[:, :4] = blocks[:, pos - 4: pos]
+            bl[:, 4:4 + n_real] = blocks[:, pos: pos + n_real]
+            ana = layer3.analyze_demand_fused(
+                bl, fsm, cfg0.version, cfg0.sampling_frequency, sfreq_hz)
+            fsm = ana["fsm_state"]
+            segs.append(ana)
+
+        # per-clip device reservoir scans over each clip's lane slice
+        rows_by_clip, tgt_by_clip, dem_by_clip = [], [], []
+        for b in range(B):
+            pes = [a["pe"].reshape(L, -1)[b * nch:(b + 1) * nch]
+                   .reshape(-1) for a in segs]
+            dms = [a["p23"].reshape(L, -1)[b * nch:(b + 1) * nch]
+                   .reshape(-1) for a in segs]
+            rows, tgt, dem, _ = E._plan_budgets_dev(
+                pes, dms, 0, plan, nch, mode_gr, mean_bits, resv_max,
+                delta)
+            rows_by_clip.append(rows)
+            tgt_by_clip.append(tgt)
+            dem_by_clip.append(dem)
+
+        def stacked_budget(i, n_pad, by_clip):
+            return jnp.concatenate(
+                [by_clip[b][i].reshape(nch, n_pad) for b in range(B)],
+                axis=0).reshape(-1)
+
+        def run_final(budget_per_seg, fetch_aux):
+            hosts = []
+            for i, ((pos, n_real, n_pad), a) in enumerate(zip(plan, segs)):
+                h = layer3.encode_final(
+                    a["xr"], a["ratio_l"], a["ratio_s"],
+                    a["block_type"], budget_per_seg[i],
+                    cfg0.version, cfg0.sampling_frequency,
+                    payload_words=pw, scfsi=a.get("scfsi"),
+                    sf_fix=a.get("sf_fix"), nch=L)
+                for arr in (h["side"], h["payload"]):
+                    if hasattr(arr, "copy_to_host_async"):
+                        arr.copy_to_host_async()
+                hosts.append(h)
+            fetch = [(h["side"], h["payload"]) for h in hosts]
+            if fetch_aux:
+                fetch.append((tgt_by_clip, dem_by_clip,
+                              [a.get("scfsi") for a in segs]))
+            return jax.device_get(fetch)
+
+        budgets = [stacked_budget(i, n_pad, by_clip=rows_by_clip)
+                   for i, (_, _, n_pad) in enumerate(plan)]
+        got = run_final(budgets, True)
+        aux = got[len(plan)]
+
+        def cat_lane(parts, b):
+            outs = []
+            for (pos, n_real, n_pad), p in zip(plan, parts):
+                p = np.asarray(p)
+                outs.append(p.reshape((L, n_pad) + p.shape[1:])
+                            [b * nch:(b + 1) * nch, :n_real])
+            return np.concatenate(outs, axis=1)
+
+        for b, (pcm, nf) in enumerate(framed):
+            G = nf * mode_gr
+            side = cat_lane([g[0] for g in got[:len(plan)]], b)[:, :G]
+            payload = cat_lane([g[1] for g in got[:len(plan)]], b)[:, :G]
+            target = np.asarray(aux[0][b]).astype(np.int64)[:, :G]
+            demand = np.asarray(aux[1][b]).astype(np.int64)[:, :G]
+            if mode_gr == 2:
+                scfsi_frames = np.concatenate(
+                    [np.asarray(s).reshape(L, -1, 4)
+                     [b * nch:(b + 1) * nch, :n_real // 2]
+                     for (pos, n_real, n_pad), s in zip(plan, aux[2])],
+                    axis=1)[:, :G // 2]
+            else:
+                scfsi_frames = np.zeros((nch, nf, 4), np.int32)
+            p23 = side[:, :, 0].astype(np.int64)
+            for _retry in range(4):
+                bad, limits = resv_guard(p23, nf, nch, mean_bits,
+                                         resv_max, mode_gr)
+                if not bad:
+                    break
+                assert _retry < 3, "corpus reservoir guard failed"
+                if _retry == 2:
+                    target = np.minimum(target,
+                                        max(mean_bits // nch - 8, 64))
+                else:
+                    target = np.minimum(target,
+                                        np.maximum(limits - 8, 64))
+                # rare: re-encode this clip's lanes alone via the
+                # single-clip path budgets
+                bh = np.full((nch, G_max), 4095.0, np.float32)
+                bh[:, :G] = np.where(target < demand, target, 4095)
+                budgets_b = []
+                for (pos, n_real, n_pad) in plan:
+                    r = np.full((nch, n_pad), 4095.0, np.float32)
+                    r[:, :n_real] = bh[:, pos:pos + n_real]
+                    budgets_b.append(r)
+                redo = [np.tile(r, (B, 1)).reshape(-1)
+                        for r in budgets_b]
+                got_b = run_final([jnp.asarray(r) for r in redo], False)
+                side = cat_lane([g[0] for g in got_b], b)[:, :G]
+                payload = cat_lane([g[1] for g in got_b], b)[:, :G]
+                p23 = side[:, :, 0].astype(np.int64)
+            outputs[g0 + b] = E._marshal_and_assemble(
+                cfg0, side, payload, nf, bits_per_frame, mean_bits,
+                resv_max, sfb_s, prof, scfsi=scfsi_frames)
+
+    wall = time.perf_counter() - t0
+    return outputs, dict(clips=len(clips), audio_s=audio_s, wall_s=wall,
+                         x_realtime=audio_s / wall if wall else 0.0)
+
+
 def encode_corpus(clips, cfg_kwargs, encode=None, workers=3):
     """Encode a list of (pcm int16, sample_rate_hz) clips; returns
     (outputs, stats dict).  cfg_kwargs: EncoderConfig kwargs applied

@@ -99,3 +99,40 @@ def test_two_process_distributed_encode(tmp_path):
     assert all(r[3] == "1" for r in rows), rows   # valid streams
     agg = sum(float(r[4]) for r in rows)
     assert agg > 0.0, rows
+
+
+def test_encode_corpus_batched_matches_single():
+    """Batched lane-stacked corpus encode produces valid streams of
+    the same CBR length and equal decoded quality as per-clip encodes
+    (batch-shape float jitter may move individual bits)."""
+    from mp3tpu.config import EncoderConfig
+    from mp3tpu.decoder import decode_mp3
+    from mp3tpu.decoder.layer3 import snr_db
+    from mp3tpu.encoder import encode_layer3_fast
+    from mp3tpu.parallel.corpus import encode_corpus_batched
+    from mp3tpu.tables import mpeg
+
+    rng = np.random.RandomState(5)
+    clips = []
+    for s in range(3):
+        n = int((0.6 + 0.3 * s) * 44100)
+        t = np.arange(n) / 44100.0
+        x = (0.3 * np.sin(2 * np.pi * (350 + 60 * s) * t)
+             + 0.03 * rng.randn(n))
+        clips.append((np.clip(x[None, :] * 22000, -32768, 32767)
+                      .astype(np.int16), 44100))
+
+    kw = dict(layer=3, mode=mpeg.MODE_MONO, bitrate_kbps=64)
+    outs, stats = encode_corpus_batched(clips, kw, batch=3)
+    assert stats["clips"] == 3 and stats["x_realtime"] > 0
+    for (pcm, rate), out in zip(clips, outs):
+        cfg = EncoderConfig(sample_rate_hz=rate, **kw)
+        single = encode_layer3_fast(pcm, cfg)
+        assert len(out) == len(single)
+        assert out[0] == 0xFF
+        dec_b, _ = decode_mp3(out)
+        dec_s, _ = decode_mp3(single)
+        s_b = float(snr_db(pcm[0].astype(np.float64), dec_b[:, 0]))
+        s_s = float(snr_db(pcm[0].astype(np.float64), dec_s[:, 0]))
+        assert abs(s_b - s_s) < 0.5, (s_b, s_s)
+        assert s_b > 10.0, s_b
