@@ -1,17 +1,16 @@
 """High-level TPU encoder: fast mode (production path).
 
-Pipeline per clip:
-  1. device: analyze + unconstrained demand encode (ONE dispatch;
-     psy + filterbank + MDCT + rate loop at budget 4095), downloading
-     only the (pe, demand) scalars;
-  2. host:   exact reservoir scans (reservoir.c:101-134 policy) run
-     natively over the scalars; budget-limited granules are probed on
-     device (gather-only, returns just part2_3_length) until the
-     budget/usage fixed point settles;
-  3. device: ONE dense full-batch encode at the final budgets with the
-     tunnel-packed state fused into the dispatch (no XLA scatters --
-     a 9k-row scatter runs on the TPU scalar core at ~700 ms);
-  4. host:   stuffing planning + native C++ bitstream assembly.
+Pipeline per clip -- one uninterrupted device program chain, ONE host
+sync (see encode_layer3_fast):
+
+  analyze + demand encode (per super-chunk segment, FSM/halo carried)
+    -> device reservoir budget scan (ops/jaxresv.py)
+    -> final encode + on-device bit packing (warm-started from the
+       demand stepsizes)
+    -> single download -> host guard validation + native C++ assembly.
+
+StreamEncoder runs the same pipeline window by window with carried
+state (bit-identical to one-shot) and checkpoints to a small dict.
 
 The exact byte-replica of the reference lives in mp3tpu.numpy_ref and
 is used by tests; this path trades bit-identity for speed and fixes
@@ -257,7 +256,8 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
                     a["xr"], a["ratio_l"], a["ratio_s"], a["block_type"],
                     budget, cfg.version, cfg.sampling_frequency,
                     payload_words=pw, scfsi=a.get("scfsi"),
-                    sf_fix=a.get("sf_fix"), nch=nch)
+                    sf_fix=a.get("sf_fix"), nch=nch,
+                    qss_lo=a["qss"])
                 for arr in (h["side"], h["payload"]):
                     if hasattr(arr, "copy_to_host_async"):
                         arr.copy_to_host_async()  # overlap w/ next segment
@@ -500,7 +500,8 @@ class StreamEncoder:
                     ana["block_type"], budget,
                     cfg.version, cfg.sampling_frequency,
                     payload_words=pw, scfsi=ana.get("scfsi"),
-                    sf_fix=ana.get("sf_fix"), nch=nch)
+                    sf_fix=ana.get("sf_fix"), nch=nch,
+                    qss_lo=ana["qss"])
                 fetch = [h["side"], h["payload"]]
                 if fetch_aux:
                     fetch.append((target_dev, demand_dev,

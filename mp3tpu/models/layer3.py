@@ -169,6 +169,7 @@ def analyze_demand_fused(blocks_h4, fsm_init, version, sampling_frequency,
     res = dict(xr=ana["xr"], ratio_l=ana["ratio_l"],
                ratio_s=ana["ratio_s"], block_type=ana["block_type"],
                pe=ana["pe"], p23=out["part2_3_length"].astype(jnp.int32),
+               qss=out["qss"].astype(jnp.float32),
                fsm_state=fsm_state,
                n_nonfinite=jnp.sum(~finite).astype(jnp.int32))
     if not ST["lsf"]:
@@ -198,7 +199,7 @@ def _analyze_chunk_body(blocks_ext, halo2, fsm_init, sfreq_hz):
                                    "payload_words", "nch"))
 def encode_final(xr, ratio_l, ratio_s, block_type, budget, version,
                  sampling_frequency, payload_words=jaxbits.PAYLOAD_WORDS,
-                 scfsi=None, sf_fix=None, nch=1):
+                 scfsi=None, sf_fix=None, nch=1, qss_lo=None):
     """One dense full-batch encode at the final budgets.  The entire
     main_data (scalefactors + Huffman codewords) is emitted and
     bit-packed ON DEVICE (ops/jaxbits); only the entropy-coded payload
@@ -231,7 +232,7 @@ def encode_final(xr, ratio_l, ratio_s, block_type, budget, version,
     out = jaxloop.outer_loop(xr, budget, ratio_l, ratio_s,
                              is_short_block, block_type, ST,
                              sf_fix_mask=mask, sf_fix_val=vals,
-                             sf_skip_mask=skipm)
+                             sf_skip_mask=skipm, qss_lo=qss_lo)
     ix_signed = jnp.where((xr < 0) & (out["ix"] > 0), -out["ix"],
                           out["ix"])
     payload, _ = jaxbits.granule_payload(out, ix_signed, is_short,

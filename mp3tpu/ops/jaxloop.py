@@ -532,11 +532,20 @@ def search_walk(xr75p, budget, start_qss, is_short, is_short_block, ST,
 
 
 def search_stepsize(xr75p, budget, qanf, is_short, is_short_block, ST,
-                    n_bisect=9):
+                    n_bisect=8, qss_lo=None):
     """Find an integer stepsize with bits <= budget via bisection on
-    [qanf, QMAX] plus a monotone fix-up; returns (qss, bits, counts).
-    All loops carry (G,) vectors only (see _bits_only)."""
+    [lo, QMAX] plus a monotone fix-up; returns (qss, bits, counts).
+    All loops carry (G,) vectors only (see _bits_only).
+
+    qss_lo: optional warm lower bound -- the final encode's budget is
+    never above the demand encode's (4095), so the accepted demand
+    stepsize bounds the final one from below and the bisection starts
+    in a much tighter interval.  n_bisect=8 covers the full 255-step
+    global_gain range; residual non-monotonicity is handled by the
+    fix-up and refinement walks either way."""
     lo = jnp.maximum(qanf, QMIN)          # may violate budget
+    if qss_lo is not None:
+        lo = jnp.maximum(lo, qss_lo)
     hi = jnp.full_like(lo, QMAX)          # always fits (all-zero ix)
 
     def body(_, carry):
@@ -608,7 +617,7 @@ def _default_max_iter():
 
 def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
                ST, max_iter=None, sf_fix_mask=None, sf_fix_val=None,
-               sf_skip_mask=None):
+               sf_skip_mask=None, qss_lo=None):
     # max_iter=10: decoded SNR on every quality fixture is unchanged
     # vs 24 (the last amplification rounds only juggle bits between
     # already-converged bands), and the whole batch pays for the
@@ -832,7 +841,7 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
     xr75p_0 = jnp.where(is_short[:, None], xr75_0[:, perm], xr75_0)
     qss_init, _, _ = search_stepsize(
         xr75p_0, budget.astype(xr.dtype), qanf, is_short, is_short_block,
-        ST)
+        ST, qss_lo=qss_lo)
     state = (xr_abs, xr75_0, xr75p_0, xmin_l, xmin_s, sf_l0, sf_s0,
              zi, qss_init, zi > 1, zi > 1, zi, 0, best0)
     state = jax.lax.while_loop(iter_cond, iter_body, state)

@@ -159,7 +159,8 @@ def encode_corpus_batched(clips, cfg_kwargs, batch=8, prof=None):
                     a["block_type"], budget_per_seg[i],
                     cfg0.version, cfg0.sampling_frequency,
                     payload_words=pw, scfsi=a.get("scfsi"),
-                    sf_fix=a.get("sf_fix"), nch=L)
+                    sf_fix=a.get("sf_fix"), nch=L,
+                    qss_lo=a["qss"])
                 for arr in (h["side"], h["payload"]):
                     if hasattr(arr, "copy_to_host_async"):
                         arr.copy_to_host_async()
