@@ -59,31 +59,43 @@ def build_parser():
     return p
 
 
-def stdin_pcm_iter(little_endian, chunk_bytes=1 << 20):
-    """Yield (1, n) int16 mono blocks from stdin until EOF -- the
-    reference's 'inf' streaming mode (musicin.c:310-312) with O(chunk)
-    memory; a trailing odd byte is dropped like a short final fread."""
+def stdin_pcm_iter(little_endian, nch=1, chunk_bytes=1 << 20):
+    """Yield (nch, n) int16 blocks from stdin until EOF -- the
+    reference's 'inf' streaming mode (musicin.c:310-312) reads
+    channel-interleaved PCM at the configured mode (stereo by default,
+    encoder.h:64 DFLT_MOD 's'; interleaved read encode.c:139-160).
+    O(chunk) memory; trailing bytes short of one interleaved frame are
+    dropped like a short final fread."""
     dt = "<i2" if little_endian else ">i2"
+    frame = 2 * nch
     carry = b""
     while True:
         raw = sys.stdin.buffer.read(chunk_bytes)
         if not raw:
             break
         raw = carry + raw
-        usable = len(raw) - (len(raw) % 2)
+        usable = len(raw) - (len(raw) % frame)
         carry = raw[usable:]
         if usable:
-            yield np.frombuffer(raw[:usable], dtype=dt) \
-                .astype(np.int16)[None, :]
+            flat = np.frombuffer(raw[:usable], dtype=dt).astype(np.int16)
+            yield flat.reshape(-1, nch).T
+
+
+def _deinterleave_raw(raw, args):
+    """Raw PCM is channel-interleaved at the configured mode
+    (encode.c:139-160 reads `stereo` samples per frame; stereo default
+    per encoder.h:64) -- returns (n, nch) int16."""
+    nch = 1 if _MODES[args.mode] == mpeg.MODE_MONO else 2
+    dt = "<i2" if args.little_endian else ">i2"
+    flat = np.frombuffer(raw, dtype=dt).astype(np.int16)
+    usable = len(flat) - (len(flat) % nch)
+    return flat[:usable].reshape(-1, nch)
 
 
 def read_input(args):
-    """Returns (pcm int16 (n, nch), rate_hz or None, nch or None)."""
+    """Returns (pcm int16 (n, nch), rate_hz or None)."""
     if args.input == "-":
-        raw = sys.stdin.buffer.read()
-        dt = "<i2" if args.little_endian else ">i2"
-        pcm = np.frombuffer(raw, dtype=dt).astype(np.int16)
-        return pcm[:, None], None
+        return _deinterleave_raw(sys.stdin.buffer.read(), args), None
     with open(args.input, "rb") as f:
         head = f.read(12)
     if head[:4] == b"FORM" and head[8:12] == b"AIFF":
@@ -97,21 +109,25 @@ def read_input(args):
         pcm, rate = read_wav(args.input)
         return pcm, float(rate)
     # raw PCM
-    raw = open(args.input, "rb").read()
-    dt = "<i2" if args.little_endian else ">i2"
-    pcm = np.frombuffer(raw, dtype=dt).astype(np.int16)
-    return pcm[:, None], None
+    return _deinterleave_raw(open(args.input, "rb").read(), args), None
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
     if args.input == "-" and args.layer == 3 and not args.exact:
-        # streaming stdin: unbounded input, O(window) memory
-        # (musicin.c:310-371 'inf' mode; encode.c:123-168 block reads)
+        # streaming stdin: unbounded channel-interleaved input at the
+        # configured mode (stereo by default like encoder.h:64),
+        # O(window) memory (musicin.c:310-371 'inf' mode;
+        # encode.c:123-168 interleaved block reads)
         rate = (args.sfrq * 1000.0) if args.sfrq is not None else 44100.0
+        mode = _MODES[args.mode]
+        if mode == mpeg.MODE_JOINT:
+            print("joint stereo is not defined for layer 3 "
+                  "(musicin.c:548-552)", file=sys.stderr)
+            return 1
         cfg = EncoderConfig(
-            layer=3, mode=mpeg.MODE_MONO, psy_model=args.psy,
+            layer=3, mode=mode, psy_model=args.psy,
             bitrate_kbps=args.brate, sample_rate_hz=rate,
             emphasis=_EMPH[args.emp], copyright=args.copyright,
             original=args.original,
@@ -122,13 +138,21 @@ def main(argv=None):
                   file=sys.stderr)
             return 1
         from .encoder import encode_layer3_stream
-        out_path = args.output or (args.input + ".mp3")
         total = 0
-        with open(out_path, "wb") as f:
+        # no output path: pipe MP3 bytes to stdout (the natural pipe
+        # semantics; '-.mp3' would be a footgun for downstream tools)
+        sink = (open(args.output, "wb") if args.output
+                else sys.stdout.buffer)
+        try:
             for chunk in encode_layer3_stream(
-                    stdin_pcm_iter(args.little_endian), cfg):
-                f.write(chunk)
+                    stdin_pcm_iter(args.little_endian,
+                                   nch=cfg.nchannels), cfg):
+                sink.write(chunk)
                 total += len(chunk)
+            sink.flush()
+        finally:
+            if args.output:
+                sink.close()
         print(f">>> streamed {total} bytes", file=sys.stderr)
         return 0
 

@@ -309,16 +309,8 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
         if _retry == 3:
             raise RuntimeError(
                 "reservoir guard failed on a guaranteed-feasible clamp")
-        if _retry == 2:
-            # last resort (SURVEY.md section 5.3 recovery): clamp every
-            # granule to under the frame mean -- feasible for ANY
-            # reservoir trajectory (limit = mean + size, size >= 0), so
-            # this pass always converges; quality degrades gracefully
-            # instead of aborting
-            target = np.minimum(target,
-                                max(mean_bits // nch - 8, 64))
-        else:
-            target = np.minimum(target, np.maximum(limits - 8, 64))
+        from .runtime.bitstream import guard_clamp
+        target = guard_clamp(target, limits, _retry, mean_bits, nch)
         side, payload = run_final(pw, "final encode+pack retry (device)",
                                   target=target, demand=demand)
         p23 = side[:, :, 0].astype(np.int64)
@@ -536,11 +528,9 @@ class StreamEncoder:
             if _retry == 3:
                 raise RuntimeError("stream reservoir guard failed on a "
                                    "guaranteed-feasible clamp")
-            if _retry == 2:
-                target = np.minimum(
-                    target, max(self.mean_bits // nch - 8, 64))
-            else:
-                target = np.minimum(target, np.maximum(limits - 8, 64))
+            from .runtime.bitstream import guard_clamp
+            target = guard_clamp(target, limits, _retry, self.mean_bits,
+                                 nch)
             side, payload = run_final(pw, "stream final retry",
                                       target=target, demand=demand)
             p23 = side[:, :, 0].astype(np.int64)

@@ -289,11 +289,8 @@ def encode_layer3_sharded(pcm, cfg, mesh=None, chunk=None, prof=None):
         if _retry == 3:
             raise RuntimeError(
                 "reservoir guard failed on a guaranteed-feasible clamp")
-        if _retry == 2:
-            # always-feasible clamp (limit = mean + size, size >= 0)
-            target = np.minimum(target, max(mean_bits // nch - 8, 64))
-        else:
-            target = np.minimum(target, np.maximum(limits - 8, 64))
+        from ..runtime.bitstream import guard_clamp
+        target = guard_clamp(target, limits, _retry, mean_bits, nch)
         side, payload = run_final(target, "sharded final retry")
         p23 = side[:, :, 0].astype(np.int64)
 

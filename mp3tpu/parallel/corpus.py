@@ -205,12 +205,9 @@ def encode_corpus_batched(clips, cfg_kwargs, batch=8, prof=None):
                 if not bad:
                     break
                 assert _retry < 3, "corpus reservoir guard failed"
-                if _retry == 2:
-                    target = np.minimum(target,
-                                        max(mean_bits // nch - 8, 64))
-                else:
-                    target = np.minimum(target,
-                                        np.maximum(limits - 8, 64))
+                from ..runtime.bitstream import guard_clamp
+                target = guard_clamp(target, limits, _retry, mean_bits,
+                                     nch)
                 # rare: re-encode this clip's lanes alone via the
                 # single-clip path budgets
                 bh = np.full((nch, G_max), 4095.0, np.float32)

@@ -152,6 +152,26 @@ def resv_guard(p23, nframes, nch, mean_bits, resv_max, mode_gr=2,
     return bool(bad), lims
 
 
+def guard_clamp(target, limits, retry, mean_bits, nch):
+    """Shared budget-clamp ladder for the reservoir-guard retry loops
+    (encoder / stream / sharded clip / corpus paths).
+
+    retry 0/1: clamp to the guard's own per-granule limits minus a
+    margin.  retry 2 (last resort, SURVEY.md section 5.3 recovery):
+    clamp every granule under the per-channel frame mean -- feasible
+    for ANY reservoir trajectory (limit = mean + size, size >= 0), so
+    the following pass always converges and quality degrades gracefully
+    instead of aborting.  The floor follows the mean at low bitrates
+    (mean_bits//nch can be < 64 for e.g. 8-16 kbps LSF stereo; a fixed
+    64-bit floor would exceed the guard limit and the 'guaranteed-
+    feasible' pass could still fail)."""
+    mean_share = mean_bits // nch
+    floor = max(min(64, mean_share - 8), 1)
+    if retry >= 2:
+        return np.minimum(target, max(mean_share - 8, floor))
+    return np.minimum(target, np.maximum(limits - 8, floor))
+
+
 def pack_elements(values, lengths):
     """Pack a flat (value, nbits) element stream MSB-first -> bytes.
 
