@@ -110,6 +110,38 @@ def _plan_budgets_jit(pes, p23s, size0, plan, nch, mode_gr, mean_bits,
 _plan_budgets_impl = None
 
 
+def _stitch_flat(plan, seg_sides, seg_flats, nch):
+    """Stitch per-segment device-compacted payloads into one clip-order
+    flat buffer + per-granule word offsets for the native assembler.
+
+    seg_sides: per segment (nch*n_pad, 19) side tables (p23 at col 0);
+    seg_flats: per segment (cap,) u32 flat payloads in lane order
+    (jaxbits.compact_payload).  Lane ranges per channel are contiguous
+    prefixes (padded lanes are silent, p23 = 0, zero words), so each
+    (segment, channel) contributes ONE contiguous word span; the clip
+    layout is channel-major like the native side table.
+    Returns (clip_flat u32, offsets (nch*G,) int64)."""
+    spans = [[] for _ in range(nch)]
+    for (pos, n_real, n_pad), side_s, flat in zip(plan, seg_sides,
+                                                  seg_flats):
+        p23 = np.asarray(side_s)[:, 0].astype(np.int64)
+        wlen = (p23 + 31) >> 5
+        end = np.cumsum(wlen)
+        off = end - wlen
+        flat = np.asarray(flat)
+        for ch in range(nch):
+            lo = ch * n_pad
+            spans[ch].append((flat[off[lo]:end[lo + n_real - 1]],
+                              wlen[lo:lo + n_real]))
+    pieces = [p for ch in range(nch) for p, _ in spans[ch]]
+    wlens = [w for ch in range(nch) for _, w in spans[ch]]
+    clip_flat = (np.concatenate(pieces) if pieces
+                 else np.zeros(0, np.uint32))
+    wlen_clip = np.concatenate(wlens)
+    offs = np.cumsum(wlen_clip) - wlen_clip
+    return clip_flat, offs.astype(np.int64)
+
+
 def _plan_segments(G, buckets):
     """Greedy super-chunk plan: [(start, n_real, n_padded)] -- full
     largest-bucket segments plus ONE remainder padded to the smallest
@@ -237,8 +269,9 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
 
     # ---- phase 3: final dense encode at the assigned budgets;
     # unconstrained granules rerun at 4095 and reproduce their demand
-    # encode.  ONE host sync drains everything: side+payload plus the
-    # scan tensors and per-encode metrics.
+    # encode.  ONE host sync drains everything: side + device-COMPACTED
+    # payload (the ~15 MB/s download link dominates; dense rows are
+    # ~4x zeros) plus the scan tensors and per-encode metrics.
     def run_final(pw, label, budget_rows=None, target=None, demand=None,
                   fetch_aux=False):
         with prof.stage(label):
@@ -252,12 +285,15 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
                     d = demand[:, pos: pos + n_real]
                     bh[:, :n_real] = np.where(t < d, t, 4095)
                     budget = jnp.asarray(bh.reshape(-1))
+                cap = layer3.jaxbits.payload_cap_words(
+                    n_pad // mode_gr, bits_per_frame, sideinfo_len,
+                    resv_max, nch * n_pad)
                 h = layer3.encode_final(
                     a["xr"], a["ratio_l"], a["ratio_s"], a["block_type"],
                     budget, cfg.version, cfg.sampling_frequency,
                     payload_words=pw, scfsi=a.get("scfsi"),
                     sf_fix=a.get("sf_fix"), nch=nch,
-                    qss_lo=a["qss"])
+                    qss_lo=a["qss"], flat_cap=cap)
                 for arr in (h["side"], h["payload"]):
                     if hasattr(arr, "copy_to_host_async"):
                         arr.copy_to_host_async()  # overlap w/ next segment
@@ -269,7 +305,8 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
                               [a["n_nonfinite"] for a in segs]))
             got = jax.device_get(fetch)
         side = _cat([g[0] for g in got[:len(hosts)]])
-        payload = _cat([g[1] for g in got[:len(hosts)]])
+        payload = _stitch_flat(plan, [g[0] for g in got[:len(hosts)]],
+                               [g[1] for g in got[:len(hosts)]], nch)
         if fetch_aux:
             return side, payload, got[len(hosts)]
         return side, payload
@@ -486,6 +523,11 @@ class StreamEncoder:
                 bh = np.full((nch, n_pad), 4095.0, np.float32)
                 bh[:, :G] = np.where(target < demand, target, 4095)
                 budget = jnp.asarray(bh.reshape(-1))
+            cap = layer3.jaxbits.payload_cap_words(
+                n_pad // mode_gr, self.bits_per_frame,
+                mpeg.sideinfo_bits(cfg.version, nch,
+                                   cfg.error_protection),
+                self.resv_max, nch * n_pad)
             with prof.stage(label):
                 h = layer3.encode_final(
                     ana["xr"], ana["ratio_l"], ana["ratio_s"],
@@ -493,15 +535,17 @@ class StreamEncoder:
                     cfg.version, cfg.sampling_frequency,
                     payload_words=pw, scfsi=ana.get("scfsi"),
                     sf_fix=ana.get("sf_fix"), nch=nch,
-                    qss_lo=ana["qss"])
+                    qss_lo=ana["qss"], flat_cap=cap)
                 fetch = [h["side"], h["payload"]]
                 if fetch_aux:
                     fetch.append((target_dev, demand_dev,
                                   ana.get("scfsi"), ana["n_nonfinite"]))
                 got = jax.device_get(fetch)
+            payload = _stitch_flat([(0, G, n_pad)], [got[0]], [got[1]],
+                                   nch)
             if fetch_aux:
-                return cut(got[0]), cut(got[1]), got[2]
-            return cut(got[0]), cut(got[1])
+                return cut(got[0]), payload, got[2]
+            return cut(got[0]), payload
 
         pw = self.pw
         side, payload, aux = run_final(pw, "stream final",
@@ -539,11 +583,12 @@ class StreamEncoder:
         with prof.stage("stream assembly"):
             scfsi_fm = np.ascontiguousarray(
                 np.asarray(scfsi_frames, np.int32).transpose(1, 0, 2))
+            flat, offs = payload
             self.asm.encode_clip_payload(
                 nframes_w, self.bits_per_frame, self.mean_bits,
                 self.resv_max, scfsi_fm,
                 np.ascontiguousarray(np.asarray(side, np.int32)),
-                np.ascontiguousarray(payload))
+                np.ascontiguousarray(flat), row_offsets=offs)
             return self.asm.finish() if is_last else self.asm.drain()
 
 
@@ -571,6 +616,9 @@ def _marshal_and_assemble(cfg, side, payload, nframes,
     emission + payload splice in one C++ call)."""
     nch = cfg.nchannels
     G = nframes * cfg.mode_gr
+    row_offsets = None
+    if isinstance(payload, tuple):                # compacted flat form
+        payload, row_offsets = payload
     payload = np.ascontiguousarray(payload)
     side = np.ascontiguousarray(np.asarray(side, np.int32))
     assert side.shape == (nch, G, 19), side.shape
@@ -589,7 +637,8 @@ def _marshal_and_assemble(cfg, side, payload, nframes,
             np.asarray(scfsi, np.int32).transpose(1, 0, 2))
         asm.encode_clip_payload(nframes, bits_per_frame, mean_bits,
                                 resv_max, scfsi_fm,
-                                np.ascontiguousarray(side), payload)
+                                np.ascontiguousarray(side), payload,
+                                row_offsets=row_offsets)
         out = asm.finish()
     return out
 

@@ -196,10 +196,11 @@ def _analyze_chunk_body(blocks_ext, halo2, fsm_init, sfreq_hz):
 
 
 @partial(jax.jit, static_argnames=("version", "sampling_frequency",
-                                   "payload_words", "nch"))
+                                   "payload_words", "nch", "flat_cap"))
 def encode_final(xr, ratio_l, ratio_s, block_type, budget, version,
                  sampling_frequency, payload_words=jaxbits.PAYLOAD_WORDS,
-                 scfsi=None, sf_fix=None, nch=1, qss_lo=None):
+                 scfsi=None, sf_fix=None, nch=1, qss_lo=None,
+                 flat_cap=None):
     """One dense full-batch encode at the final budgets.  The entire
     main_data (scalefactors + Huffman codewords) is emitted and
     bit-packed ON DEVICE (ops/jaxbits); only the entropy-coded payload
@@ -235,9 +236,14 @@ def encode_final(xr, ratio_l, ratio_s, block_type, budget, version,
                              sf_skip_mask=skipm, qss_lo=qss_lo)
     ix_signed = jnp.where((xr < 0) & (out["ix"] > 0), -out["ix"],
                           out["ix"])
-    payload, _ = jaxbits.granule_payload(out, ix_signed, is_short,
-                                         ST, payload_words,
-                                         skip_mask=skipm)
+    payload, nbits = jaxbits.granule_payload(out, ix_signed, is_short,
+                                             ST, payload_words,
+                                             skip_mask=skipm)
+    if flat_cap is not None:
+        # compact the mostly-zero rows into one flat buffer: the
+        # download link (~15 MB/s) dominates the pipeline and the host
+        # re-derives offsets from the side table's part2_3_length
+        payload = jaxbits.compact_payload(payload, nbits, flat_cap)
     return dict(side=pack_state(out, block_type), payload=payload)
 
 

@@ -329,3 +329,45 @@ def granule_payload(state, ix_signed, is_short, ST,
 @partial(jax.jit, static_argnames=("w_cap",))
 def pack_elements_jit(values, lengths, w_cap=PAYLOAD_WORDS):
     return pack_elements(values, lengths, w_cap)
+
+
+def compact_payload(payload, nbits, total_cap):
+    """Row-compact a (N, W) payload into ONE flat (total_cap,) u32
+    buffer: lane g's ceil(nbits[g]/32) used words land at word offset
+    cumsum-exclusive(wlen)[g], lane order preserved.
+
+    Why: the host tunnel downloads at ~15 MB/s and the dense payload is
+    mostly zeros (rows sized for the worst granule, ~4x the mean at
+    128 kbps) -- compaction cuts the dominant download ~4x.  The host
+    re-derives the identical offsets from the side table's
+    part2_3_length, so only this buffer crosses the link.
+
+    TPU formulation: lane-of-word via a scatter-add of one mark per
+    lane at its start offset + cumsum (duplicate marks from empty lanes
+    resolve to the LAST lane at that offset, which is exactly the
+    non-empty one), then a single 1-D gather.  total_cap must bound
+    sum(wlen); the reservoir bounds sum(p23) by the CBR total plus
+    resv_max, so callers size it statically from the bitrate.
+    """
+    N, W = payload.shape
+    wlen = ((nbits + 31) >> 5).astype(jnp.int32)
+    ends = jnp.cumsum(wlen)
+    off = ends - wlen
+    marks = jnp.zeros(total_cap + 1, jnp.int32) \
+        .at[jnp.minimum(off, total_cap)].add(1)
+    lane = jnp.cumsum(marks[:total_cap]) - 1
+    lane = jnp.clip(lane, 0, N - 1)
+    j = jnp.arange(total_cap, dtype=jnp.int32) - off[lane]
+    ok = (j >= 0) & (j < W)
+    idx = lane * W + jnp.where(ok, j, 0)
+    return jnp.where(ok, payload.reshape(-1)[idx], jnp.uint32(0))
+
+
+def payload_cap_words(n_frames, bits_per_frame, sideinfo_len, resv_max,
+                      n_lanes):
+    """Static flat-buffer size: the reservoir guarantees
+    sum(part2_3_length) <= frames*(frame bits - side info) + resv_max
+    (reservoir.c:101-134 grant policy); per-lane word alignment adds at
+    most one word per lane."""
+    total_bits = n_frames * (bits_per_frame - sideinfo_len) + resv_max
+    return int(total_bits // 32 + n_lanes + 16)

@@ -503,6 +503,19 @@ def _bits_only(xr75p, qss, is_short, is_short_block, ST):
     return bits
 
 
+# NEGATIVE RESULT (round 5, measured on TPU v5e): a candidate-ladder
+# search -- one _bits_only-style evaluation scoring K=17 stepsizes per
+# lane by folding candidates into the lane axis, replacing the 8-step
+# bisection with 2 ladder passes and each warm walk with 1 -- ran
+# 2.5x SLOWER end to end (fused demand 0.31 s -> 0.77 s at 8192
+# granules).  The serial evaluations are THROUGHPUT-bound, not
+# latency-bound: one extra candidate costs ~2.7 ms/8k granules
+# (measured: 1 eval 27 ms incl. ~25 ms sync, 10 fused serial evals
+# 52 ms), so K-parallel scoring costs ~K times a serial step and the
+# ladder's 2x17+6x16 lane-evals lose to the serial scheme's ~28.
+# int8 / bf16 / class-one-hot histogram formulations measured equal.
+
+
 def search_walk(xr75p, budget, start_qss, is_short, is_short_block, ST,
                 max_steps=40):
     """Walk from a warm start: up while over budget (after scalefactor
@@ -597,8 +610,11 @@ def _bshape(mask, v):
 
 
 _PRETAB = mpeg.PRETAB.astype(np.float32)
-_SQRT2 = np.sqrt(2.0)
-_SQRT2_75 = np.sqrt(2.0) ** 0.75
+# python floats (weak-typed): np.float64 scalars would promote the
+# whole spectrum chain to f64 under jax_enable_x64 (the oracle/tests
+# run with x64 on), silently doubling every search's memory traffic
+_SQRT2 = float(np.sqrt(2.0))
+_SQRT2_75 = float(np.sqrt(2.0) ** 0.75)
 
 
 def _default_max_iter():

@@ -26,14 +26,8 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("mean_bits", "resv_max", "mode_gr",
-                                   "nch", "delta"))
-def scan_budgets(pe, demand, size0, mean_bits, resv_max, mode_gr, nch,
-                 delta):
-    """pe, demand: (F, R) granule-major (r = gr*nch + ch) float/int32.
-    size0: () int32 carried reservoir level (streaming windows).
-    Returns (budgets (F, R) int32, size_out ()).
-    """
+def _scan_core(pe, demand, size0, mean_bits, resv_max, mode_gr, nch,
+               delta):
     R = mode_gr * nch
     mean = mean_bits // nch
     max_bits = min(mean, 4095)
@@ -68,6 +62,32 @@ def scan_budgets(pe, demand, size0, mean_bits, resv_max, mode_gr, nch,
     size_out, budgets = jax.lax.scan(frame, jnp.asarray(size0, jnp.int32),
                                      (pe, demand))
     return budgets, size_out
+
+
+@partial(jax.jit, static_argnames=("mean_bits", "resv_max", "mode_gr",
+                                   "nch", "delta"))
+def scan_budgets(pe, demand, size0, mean_bits, resv_max, mode_gr, nch,
+                 delta):
+    """pe, demand: (F, R) granule-major (r = gr*nch + ch) float/int32.
+    size0: () int32 carried reservoir level (streaming windows).
+    Returns (budgets (F, R) int32, size_out ()).
+    """
+    return _scan_core(pe, demand, size0, mean_bits, resv_max, mode_gr,
+                      nch, delta)
+
+
+@partial(jax.jit, static_argnames=("mean_bits", "resv_max", "mode_gr",
+                                   "nch", "delta"))
+def scan_budgets_batched(pe, demand, size0, mean_bits, resv_max,
+                         mode_gr, nch, delta):
+    """Clip-batched scan for the corpus path: pe/demand (B, F, R),
+    size0 (B,).  One vmapped lax.scan dispatch instead of B serial
+    per-clip dispatches (VERDICT r4: corpus.py:136-147 serialized its
+    reservoir scans, so wider lanes barely paid)."""
+    return jax.vmap(
+        lambda p, d, s: _scan_core(p, d, s, mean_bits, resv_max,
+                                   mode_gr, nch, delta))(pe, demand,
+                                                         size0)
 
 
 def granule_major(x, nch, mode_gr):

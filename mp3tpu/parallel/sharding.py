@@ -40,21 +40,28 @@ def encode_sharded(mesh, blocks, budget, version, sampling_frequency,
     ST = jaxloop._static(version, sampling_frequency)
 
     def shard_fn(blocks_s, budget_s):
-        # halo: receive the last 2 blocks of the LEFT neighbor
+        # halo: receive the last 4 blocks of the LEFT neighbor -- rows
+        # 0:2 are the psy FFT-history halo, rows 2:4 are in-batch
+        # warmup granules (the psy unpredictability/pre-echo chains
+        # reach 2 granules back, see jaxpsy.psycho_granules), so each
+        # shard's boundary granules see the exact same state a
+        # whole-clip batch computes and output is device-count
+        # invariant (same scheme as parallel/clip.py analyze_fn).
         axis = "frames"
         n = jax.lax.axis_size(axis)
         idx = jax.lax.axis_index(axis)
-        tail = blocks_s[-2:]
+        tail = blocks_s[-4:]
         halo = jax.lax.ppermute(tail, axis,
                                 [(i, (i + 1) % n) for i in range(n)])
         halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
 
-        psy = jaxpsy.psycho_granules(blocks_s, halo, sfreq_hz)
-        scaled = blocks_s / 32768.0
-        halo_scaled = halo / 32768.0
-        sb = jaxdsp.subband_granules(scaled, halo_scaled[1, 64:])
-        sb_prev = jaxdsp.subband_granules(
-            halo_scaled[1][None], halo_scaled[0, 64:])[0]
+        blocks_ext = jnp.concatenate([halo[2:4], blocks_s])
+        psy = jaxpsy.psycho_granules(blocks_ext, halo[0:2], sfreq_hz,
+                                     warmup=2)
+        scaled = blocks_ext / 32768.0
+        sb = jaxdsp.subband_granules(scaled[2:], scaled[1, 64:])
+        sb_prev = jaxdsp.subband_granules(scaled[1][None],
+                                          scaled[0, 64:])[0]
         xr = jaxdsp.mdct_granules(sb, sb_prev, psy["block_type"])
         is_short_block = psy["block_type"] != mpeg.NORM_TYPE
         out = jaxloop.outer_loop(xr, budget_s, psy["ratio_l"],

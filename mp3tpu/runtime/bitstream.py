@@ -63,6 +63,12 @@ def get_lib():
             ctypes.c_long, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_int]
+        lib.mp3bits_encode_clip_payload_flat.restype = None
+        lib.mp3bits_encode_clip_payload_flat.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_long,
+            ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_long)]
         lib.mp3resv_scan.restype = None
         lib.mp3resv_scan.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
@@ -219,12 +225,23 @@ class NativeAssembler:
             resv_drain)
 
     def encode_clip_payload(self, nframes, bits_per_frame, mean_bits,
-                            resv_max, scfsi, side, payload):
+                            resv_max, scfsi, side, payload,
+                            row_offsets=None):
         """Assemble a clip from device-packed granule payloads: exact
         reservoir stuffing plan + side-info weave + payload splice.
         side (nch, G, 19) with part2_3_length at [..., 0]; payload
-        (nch, G, W) uint32 MSB-first word rows (ops/jaxbits.py)."""
+        (nch, G, W) uint32 MSB-first word rows (ops/jaxbits.py), OR a
+        device-compacted flat u32 buffer with row_offsets (nch*G,)
+        giving each granule's start word (jaxbits.compact_payload)."""
         payload = np.ascontiguousarray(payload, np.uint32)
+        if row_offsets is not None:
+            offs = np.ascontiguousarray(row_offsets, np.int64).reshape(-1)
+            self._lib.mp3bits_encode_clip_payload_flat(
+                self._h, nframes, bits_per_frame, mean_bits, resv_max,
+                _ptr(scfsi), _ptr(side),
+                payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                _lptr(offs))
+            return
         self._lib.mp3bits_encode_clip_payload(
             self._h, nframes, bits_per_frame, mean_bits, resv_max,
             _ptr(scfsi), _ptr(side),

@@ -410,11 +410,17 @@ int mp3bits_frame(void* h, int bits_per_frame, int padding, int main_data_begin,
 // exact same reservoir/back-pointer arithmetic and is always safe.
 // payload: (nch, G, words_per_row) u32 rows, channel-major like side;
 // each granule's bit length is its part2_3_length (side[...][0]).
-void mp3bits_encode_clip_payload(void* h, long nframes, int bits_per_frame,
-                                 long mean_bits, long resv_max,
-                                 const int* scfsi, const int* side,
-                                 const uint32_t* payload,
-                                 int words_per_row) {
+// row_offsets (nullable): device-compacted FLAT payload -- granule
+// (ch, g)'s words start at payload + row_offsets[ch*G + g] (offsets
+// derived host-side from the same part2_3_lengths the device used,
+// see ops/jaxbits.compact_payload).
+static void encode_clip_payload_impl(void* h, long nframes,
+                                     int bits_per_frame, long mean_bits,
+                                     long resv_max, const int* scfsi,
+                                     const int* side,
+                                     const uint32_t* payload,
+                                     int words_per_row,
+                                     const long* row_offsets) {
   auto* a = static_cast<Assembler*>(h);
   int nch = a->nch;
   // MPEG-2 LSF (version 0): one granule per frame, 8-bit back-pointer,
@@ -515,7 +521,9 @@ void mp3bits_encode_clip_payload(void* h, long nframes, int bits_per_frame,
     for (int gr = 0; gr < mode_gr; ++gr)
       for (int ch = 0; ch < nch; ++ch) {
         long g = mode_gr * f + gr;
-        const uint32_t* row = payload + (ch * G + g) * words_per_row;
+        const uint32_t* row =
+            row_offsets ? payload + row_offsets[ch * G + g]
+                        : payload + (ch * G + g) * words_per_row;
         long bits = frame_p23[gr][ch];
         long w = 0;
         while (bits >= 32) {
@@ -542,6 +550,25 @@ void mp3bits_encode_clip_payload(void* h, long nframes, int bits_per_frame,
   }
   a->resv_size = size;
   a->next_mdb = main_data_begin;
+}
+
+void mp3bits_encode_clip_payload(void* h, long nframes, int bits_per_frame,
+                                 long mean_bits, long resv_max,
+                                 const int* scfsi, const int* side,
+                                 const uint32_t* payload,
+                                 int words_per_row) {
+  encode_clip_payload_impl(h, nframes, bits_per_frame, mean_bits, resv_max,
+                           scfsi, side, payload, words_per_row, nullptr);
+}
+
+void mp3bits_encode_clip_payload_flat(void* h, long nframes,
+                                      int bits_per_frame, long mean_bits,
+                                      long resv_max, const int* scfsi,
+                                      const int* side,
+                                      const uint32_t* payload,
+                                      const long* row_offsets) {
+  encode_clip_payload_impl(h, nframes, bits_per_frame, mean_bits, resv_max,
+                           scfsi, side, payload, 0, row_offsets);
 }
 
 // Streaming drain: hand the caller every byte written so far and FREE
