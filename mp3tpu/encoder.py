@@ -230,34 +230,9 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
     delta = int(os.environ.get("MP3TPU_RELAX_DELTA", "28"))
     pw = int(os.environ.get("MP3TPU_PW", "96"))
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from .runtime.bitstream import resv_guard
-
-    # ---- phase 1: analyze + demand, one dispatch per segment,
-    # pipelined (the FSM carry is a device array; no host sync)
-    segs = []
-    fsm = jnp.zeros(nch, jnp.int32)
-    with prof.stage("analyze+demand (device)"):
-        for pos, n_real, n_pad in plan:
-            bl = np.zeros((nch, 4 + n_pad, 576), np.int16)
-            if pos:
-                bl[:, :4] = blocks[:, pos - 4: pos]
-            bl[:, 4:4 + n_real] = blocks[:, pos: pos + n_real]
-            ana = layer3.analyze_demand_fused(
-                bl, fsm, cfg.version, cfg.sampling_frequency, sfreq_hz)
-            fsm = ana["fsm_state"]
-            segs.append(ana)
-
-    # ---- phase 2: device-side reservoir scan (reservoir.c:101-134
-    # policy as a lax.scan, ops/jaxresv.py) with usage predicted as
-    # min(demand, budget - delta): exact for unconstrained granules
-    # (the final encode reruns them at 4095 and reproduces the demand
-    # encode); the delta compensation recycles the expected grant
-    # slack.  NO host sync -- the budgets feed phase 3 directly and the
-    # guard validates the realized chain after the single download.
-    with prof.stage("budget scan (device)"):
-        bud_rows, target_dev, demand_dev, _ = _plan_budgets_dev(
-            [a["pe"] for a in segs], [a["p23"] for a in segs], 0, plan,
-            nch, mode_gr, mean_bits, resv_max, delta)
 
     def _cat(parts):
         """per-segment (nch*n_pad, ...) -> (nch, G, ...) real granules."""
@@ -267,62 +242,95 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
             outs.append(p.reshape((nch, n_pad) + p.shape[1:])[:, :n_real])
         return np.concatenate(outs, axis=1)
 
-    # ---- phase 3: final dense encode at the assigned budgets;
-    # unconstrained granules rerun at 4095 and reproduce their demand
-    # encode.  ONE host sync drains everything: side + device-COMPACTED
-    # payload (the ~15 MB/s download link dominates; dense rows are
-    # ~4x zeros) plus the scan tensors and per-encode metrics.
-    def run_final(pw, label, budget_rows=None, target=None, demand=None,
-                  fetch_aux=False):
-        with prof.stage(label):
-            hosts = []
-            for i, ((pos, n_real, n_pad), a) in enumerate(zip(plan, segs)):
-                if budget_rows is not None:
-                    budget = budget_rows[i]
-                else:
-                    bh = np.full((nch, n_pad), 4095.0, np.float32)
-                    t = target[:, pos: pos + n_real]
-                    d = demand[:, pos: pos + n_real]
-                    bh[:, :n_real] = np.where(t < d, t, 4095)
-                    budget = jnp.asarray(bh.reshape(-1))
-                cap = layer3.jaxbits.payload_cap_words(
-                    n_pad // mode_gr, bits_per_frame, sideinfo_len,
-                    resv_max, nch * n_pad)
-                h = layer3.encode_final(
-                    a["xr"], a["ratio_l"], a["ratio_s"], a["block_type"],
-                    budget, cfg.version, cfg.sampling_frequency,
-                    payload_words=pw, scfsi=a.get("scfsi"),
-                    sf_fix=a.get("sf_fix"), nch=nch,
-                    qss_lo=a["qss"], flat_cap=cap)
-                for arr in (h["side"], h["payload"]):
-                    if hasattr(arr, "copy_to_host_async"):
-                        arr.copy_to_host_async()  # overlap w/ next segment
-                hosts.append(h)
-            fetch = [(h["side"], h["payload"]) for h in hosts]
-            if fetch_aux:
-                fetch.append((target_dev, demand_dev,
-                              [a.get("scfsi") for a in segs],
-                              [a["n_nonfinite"] for a in segs]))
-            got = jax.device_get(fetch)
-        side = _cat([g[0] for g in got[:len(hosts)]])
-        payload = _stitch_flat(plan, [g[0] for g in got[:len(hosts)]],
-                               [g[1] for g in got[:len(hosts)]], nch)
-        if fetch_aux:
-            return side, payload, got[len(hosts)]
-        return side, payload
+    def dispatch_final(a, budget, n_pad, pw):
+        cap = layer3.jaxbits.payload_cap_words(
+            n_pad // mode_gr, bits_per_frame, sideinfo_len, resv_max,
+            nch * n_pad)
+        return layer3.encode_final(
+            a["xr"], a["ratio_l"], a["ratio_s"], a["block_type"],
+            budget, cfg.version, cfg.sampling_frequency,
+            payload_words=pw, scfsi=a.get("scfsi"),
+            sf_fix=a.get("sf_fix"), nch=nch, qss_lo=a["qss"],
+            flat_cap=cap)
 
-    side, payload, aux = run_final(pw, "final encode+pack (device)",
-                                   budget_rows=bud_rows, fetch_aux=True)
-    target = np.asarray(aux[0]).astype(np.int64)
-    demand = np.asarray(aux[1]).astype(np.int64)
+    # ---- per-segment pipeline, ONE pass over the plan:
+    #   analyze+demand -> causal reservoir scan (carried device level,
+    #   reservoir.c:101-134 as a lax.scan) -> final encode+pack, all
+    #   async dispatches; then THIS segment's (side, flat payload,
+    #   scfsi) download runs on a worker thread while the next
+    #   segment's upload/compute proceeds.  The tunnel is full-duplex
+    #   and device_get releases the GIL (measured: 2 x 9.4 MB
+    #   compute+download 2.64 s serial -> 1.11 s overlapped), so the
+    #   wall-clock approaches max(upload stream, compute) + last
+    #   download instead of their sum.  The scan tensors (target/
+    #   demand) stay ON DEVICE -- only the rare guard-retry/re-bucket
+    #   paths download them.
+    pool = ThreadPoolExecutor(max_workers=2)
+    segs, futures = [], []
+    fsm = jnp.zeros(nch, jnp.int32)
+    size = 0
+    with prof.stage("pipeline dispatch+fetch (device)"):
+        for pos, n_real, n_pad in plan:
+            bl = np.zeros((nch, 4 + n_pad, 576), np.int16)
+            if pos:
+                bl[:, :4] = blocks[:, pos - 4: pos]
+            bl[:, 4:4 + n_real] = blocks[:, pos: pos + n_real]
+            ana = layer3.analyze_demand_fused(
+                bl, fsm, cfg.version, cfg.sampling_frequency, sfreq_hz)
+            fsm = ana["fsm_state"]
+            bud_rows, tgt_dev, dem_dev, size = _plan_budgets_dev(
+                [ana["pe"]], [ana["p23"]], size, [(0, n_real, n_pad)],
+                nch, mode_gr, mean_bits, resv_max, delta)
+            h = dispatch_final(ana, bud_rows[0], n_pad, pw)
+            segs.append(dict(ana=ana, target=tgt_dev, demand=dem_dev))
+            futures.append(pool.submit(
+                jax.device_get,
+                (h["side"], h["payload"], ana.get("scfsi"),
+                 ana["n_nonfinite"])))
+        got = [f.result() for f in futures]
+
+    side = _cat([g[0] for g in got])
+    payload = _stitch_flat(plan, [g[0] for g in got],
+                           [g[1] for g in got], nch)
     if mode_gr == 2:
         scfsi_frames = np.concatenate(
-            [np.asarray(s)[:, :n_real // 2]
-             for (pos, n_real, n_pad), s in zip(plan, aux[2])],
+            [np.asarray(g[2])[:, :n_real // 2]
+             for (pos, n_real, n_pad), g in zip(plan, got)],
             axis=1)                                   # (nch, F, 4)
     else:
         scfsi_frames = np.zeros((nch, nframes, 4), np.int32)
-    n_nonfinite = int(sum(int(x) for x in aux[3]))
+    n_nonfinite = int(sum(int(g[3]) for g in got))
+
+    target = demand = None
+
+    def fetch_scan():
+        """Lazy download of the scan tensors (retry paths only)."""
+        nonlocal target, demand
+        if target is None:
+            td = jax.device_get([(s["target"], s["demand"])
+                                 for s in segs])
+            target = np.concatenate(
+                [np.asarray(t) for t, _ in td], axis=1).astype(np.int64)
+            demand = np.concatenate(
+                [np.asarray(d) for _, d in td], axis=1).astype(np.int64)
+        return target, demand
+
+    def run_final(pw, label, target=None, demand=None):
+        with prof.stage(label):
+            futs = []
+            for (pos, n_real, n_pad), s in zip(plan, segs):
+                bh = np.full((nch, n_pad), 4095.0, np.float32)
+                t = target[:, pos: pos + n_real]
+                d = demand[:, pos: pos + n_real]
+                bh[:, :n_real] = np.where(t < d, t, 4095)
+                h = dispatch_final(s["ana"], jnp.asarray(bh.reshape(-1)),
+                                   n_pad, pw)
+                futs.append(pool.submit(jax.device_get,
+                                        (h["side"], h["payload"])))
+            got = [f.result() for f in futs]
+        return (_cat([g[0] for g in got]),
+                _stitch_flat(plan, [g[0] for g in got],
+                             [g[1] for g in got], nch))
 
     # the dense encode is the authority on p23:
     # (a) a granule can exceed its payload-word bucket -> silent
@@ -335,6 +343,7 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
         assert pw < layer3.jaxbits.PAYLOAD_WORDS, \
             "granule exceeds the maximum payload row"
         pw = min(layer3.jaxbits.PAYLOAD_WORDS, pw + 32)
+        target, demand = fetch_scan()
         side, payload = run_final(pw, "final re-bucket (device)",
                                   target=target, demand=demand)
         p23 = side[:, :, 0].astype(np.int64)
@@ -347,10 +356,12 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
             raise RuntimeError(
                 "reservoir guard failed on a guaranteed-feasible clamp")
         from .runtime.bitstream import guard_clamp
+        target, demand = fetch_scan()
         target = guard_clamp(target, limits, _retry, mean_bits, nch)
         side, payload = run_final(pw, "final encode+pack retry (device)",
                                   target=target, demand=demand)
         p23 = side[:, :, 0].astype(np.int64)
+    pool.shutdown(wait=False)
 
     out = _marshal_and_assemble(cfg, side, payload, nframes,
                                 bits_per_frame, mean_bits, resv_max,

@@ -169,7 +169,10 @@ def analyze_demand_fused(blocks_h4, fsm_init, version, sampling_frequency,
     res = dict(xr=ana["xr"], ratio_l=ana["ratio_l"],
                ratio_s=ana["ratio_s"], block_type=ana["block_type"],
                pe=ana["pe"], p23=out["part2_3_length"].astype(jnp.int32),
-               qss=out["qss"].astype(jnp.float32),
+               # iteration-0 stepsize: the sound warm lower bound for
+               # the final encode (ADVICE r4 #3 -- the post-amp qss can
+               # exceed what the final's fixed scalefactors need)
+               qss=out["qss0"].astype(jnp.float32),
                fsm_state=fsm_state,
                n_nonfinite=jnp.sum(~finite).astype(jnp.int32))
     if not ST["lsf"]:

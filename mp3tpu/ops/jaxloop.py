@@ -866,6 +866,12 @@ def outer_loop(xr, budget, ratio_l, ratio_s, is_short_block, block_type,
     p23 = (best["part2"] + best["bits"]).astype(jnp.int32)
     out = dict(best)
     out.pop("used")
+    # iteration-0 stepsize: a sound warm lower bound for a LATER encode
+    # of the same spectrum at an equal-or-smaller budget (the
+    # post-amplification best["qss"] is NOT -- amplification can push
+    # it above what the final encode's fixed scalefactors need, ADVICE
+    # r4 #3)
+    out["qss0"] = qss_init
     out["part2_3_length"] = jnp.where(silent, 0, p23)
     out["global_gain"] = jnp.where(
         silent, 210, jnp.round(best["qss"] + 210.0).astype(jnp.int32))
