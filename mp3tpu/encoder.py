@@ -30,15 +30,16 @@ from .tables import mpeg
 #: covering its share, so at most len(CHUNK_BUCKETS) programs compile.
 CHUNK_BUCKETS = (64, 128, 256)
 
-#: super-chunk buckets for the single-chip path.  The tunnel cost
-#: model (measured): ~1.4 ms per pipelined dispatch, ~25 ms per host
-#: sync, and a full-batch rate-loop eval at 9k granules costs barely
-#: 3x one at 512 -- so dispatches should be as LARGE and as FEW as
-#: possible.  A clip is decomposed greedily into full buckets largest-
-#: first plus one final remainder padded to the smallest covering
-#: bucket (max padding waste = 255 granules ~ 1.7 s of audio); at most
-#: len(SUPER_BUCKETS) programs per phase ever compile.
-SUPER_BUCKETS = (256, 1024, 4096)
+#: super-chunk buckets for the single-chip path.  Since the
+#: per-segment pipeline (round 5) overlaps each segment's upload /
+#: compute / threaded download, the bucket trades batch efficiency
+#: against pipeline depth; swept on the real chip for the 60 s bench:
+#: top bucket 2048 -> 130x, 4096 -> 102x (shallow overlap), 1024 ->
+#: 97x, 8192 -> 48x (no overlap at all).  A clip is decomposed
+#: greedily into full buckets largest-first plus one final remainder
+#: padded to the smallest covering bucket; at most len(SUPER_BUCKETS)
+#: programs per phase ever compile.  Override: MP3TPU_SUPER=a,b,c.
+SUPER_BUCKETS = (256, 1024, 2048)
 
 
 def _chunk_size(G):
@@ -216,7 +217,12 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
         pcm = np.clip(np.nan_to_num(pcm, nan=0.0, posinf=32767.0,
                                     neginf=-32768.0), -32768, 32767)
     blocks = pcm.astype(np.int16).reshape(nch, G, 576)
-    plan = _plan_segments(G, (chunk,) if chunk else SUPER_BUCKETS)
+    import os as _os
+    buckets = SUPER_BUCKETS
+    env_sb = _os.environ.get("MP3TPU_SUPER")
+    if env_sb:
+        buckets = tuple(sorted(int(x) for x in env_sb.split(",")))
+    plan = _plan_segments(G, (chunk,) if chunk else buckets)
     assert all(s % 2 == 0 or mode_gr == 1 for _, _, s in plan)
 
     whole_spf, _ = cfg.slots_per_frame()

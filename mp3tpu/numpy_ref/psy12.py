@@ -116,8 +116,20 @@ def _init_params(sfreq):
             acc = F(float(acc) + float(s[j, i]))
         rnorm[j] = acc
 
-    sfreq_idx = {32000.0: 0, 44100.0: 1, 48000.0: 2}[key]
-    absthr = _D[f"absthr_{sfreq_idx}"].astype(np.float64)
+    if key in (32000.0, 44100.0, 48000.0):
+        sfreq_idx = {32000.0: 0, 44100.0: 1, 48000.0: 2}[key]
+        absthr = _D[f"absthr_{sfreq_idx}"].astype(np.float64)
+    else:
+        # MPEG-2 LSF rate (16/22.05/24 kHz): the reference ships no
+        # absolute-threshold tables for these -- psy.c:136 rejects the
+        # rates outright, making LSF L1/L2 dead code there.  Each LSF
+        # rate is exactly half an MPEG-1 rate, so LSF line i sits at
+        # the parent's line-i/2 frequency with HALF the line width:
+        # threshold mass per line halves (same rule tables/psy.py
+        # _lsf_params applies to the Layer III qthr tables).
+        parent_idx = {16000.0: 0, 22050.0: 1, 24000.0: 2}[key]
+        parent = _D[f"absthr_{parent_idx}"].astype(np.float64)
+        absthr = parent[np.arange(HBLKSIZE) // 2] * 0.5
     P = dict(partition=partition, cbval=cbval, numlines=numlines, s=s,
              tmn=tmn, rnorm=rnorm, absthr=absthr)
     _PARAM_CACHE[key] = P

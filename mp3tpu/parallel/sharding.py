@@ -83,7 +83,7 @@ def encode_sharded(mesh, blocks, budget, version, sampling_frequency,
         shard_fn, mesh=mesh,
         in_specs=(P("frames"), P("frames")),
         out_specs={k: P("frames") for k in
-                   ("ix", "qss", "bits", "part2", "compress", "sf_l",
+                   ("ix", "qss", "qss0", "bits", "part2", "compress", "sf_l",
                     "sf_s", "preflag", "count1", "big_values", "r0",
                     "r1", "a1", "a2", "table_select",
                     "count1table_select", "part2_3_length",
