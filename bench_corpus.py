@@ -36,7 +36,7 @@ def main():
 
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
-    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     rate = 44100
     clips = [(make_clip(s, seconds, rate), rate) for s in range(n_clips)]
     kw = dict(layer=3, mode=mpeg.MODE_STEREO, bitrate_kbps=128)

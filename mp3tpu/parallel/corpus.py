@@ -153,7 +153,17 @@ def encode_corpus_batched(clips, cfg_kwargs, batch=8, prof=None):
 
     outputs = [None] * len(clips)
     audio_s = 0.0
-    for g0 in range(0, len(clips), batch):
+    # group-level pipelining: each group's device chain is dispatched
+    # and its download submitted to a worker thread; the PREVIOUS
+    # group's download-wait + per-clip host assembly then overlap the
+    # current group's upload/compute (same full-duplex-tunnel trick as
+    # the single-clip per-segment pipeline in mp3tpu/encoder.py)
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=2)
+    pending = []
+
+    def dispatch_group(g0):
+        nonlocal audio_s
         group = clips[g0:g0 + batch]
         B = len(group)
         framed = []
@@ -198,13 +208,16 @@ def encode_corpus_batched(clips, cfg_kwargs, batch=8, prof=None):
         def run_final(budget_per_seg, fetch_aux):
             hosts = []
             for i, ((pos, n_real, n_pad), a) in enumerate(zip(plan, segs)):
+                cap = layer3.jaxbits.payload_cap_words(
+                    B * n_pad // mode_gr, bits_per_frame, sideinfo_len,
+                    B * resv_max, L * n_pad)
                 h = layer3.encode_final(
                     a["xr"], a["ratio_l"], a["ratio_s"],
                     a["block_type"], budget_per_seg[i],
                     cfg0.version, cfg0.sampling_frequency,
                     payload_words=pw, scfsi=a.get("scfsi"),
                     sf_fix=a.get("sf_fix"), nch=L,
-                    qss_lo=a["qss"])
+                    qss_lo=a["qss"], flat_cap=cap)
                 for arr in (h["side"], h["payload"]):
                     if hasattr(arr, "copy_to_host_async"):
                         arr.copy_to_host_async()
@@ -215,7 +228,33 @@ def encode_corpus_batched(clips, cfg_kwargs, batch=8, prof=None):
                               [a.get("scfsi") for a in segs]))
             return jax.device_get(fetch)
 
-        got = run_final(budgets, True)
+        def run_final_dispatch(budget_per_seg):
+            """Dispatch + threaded fetch of the group's final encode
+            (the wait happens in collect_group, overlapping the NEXT
+            group's upload/compute)."""
+            hosts = []
+            for i, ((pos, n_real, n_pad), a) in enumerate(zip(plan, segs)):
+                cap = layer3.jaxbits.payload_cap_words(
+                    B * n_pad // mode_gr, bits_per_frame, sideinfo_len,
+                    B * resv_max, L * n_pad)
+                h = layer3.encode_final(
+                    a["xr"], a["ratio_l"], a["ratio_s"],
+                    a["block_type"], budget_per_seg[i],
+                    cfg0.version, cfg0.sampling_frequency,
+                    payload_words=pw, scfsi=a.get("scfsi"),
+                    sf_fix=a.get("sf_fix"), nch=L,
+                    qss_lo=a["qss"], flat_cap=cap)
+                hosts.append(h)
+            fetch = ([(h["side"], h["payload"]) for h in hosts]
+                     + [(tgt_all, dem_all,
+                         [a.get("scfsi") for a in segs])])
+            return pool.submit(jax.device_get, fetch)
+
+        fut = run_final_dispatch(budgets)
+        return lambda: collect_group(g0, fut.result(), framed, plan, B,
+                                     L, run_final)
+
+    def collect_group(g0, got, framed, plan, B, L, run_final):
         aux = got[len(plan)]
 
         def cat_lane(parts, b):
@@ -226,10 +265,38 @@ def encode_corpus_batched(clips, cfg_kwargs, batch=8, prof=None):
                             [b * nch:(b + 1) * nch, :n_real])
             return np.concatenate(outs, axis=1)
 
+        def stitch_clip(got_segs, b, G):
+            """Clip b's flat payload + ch-major word offsets from the
+            segment-level compacted buffers (same scheme as
+            encoder._stitch_flat; clip lanes are contiguous granule
+            ranges, so each (segment, channel) is one span).  Granules
+            past the clip's real length G are silent (p23 = 0, zero
+            words), so trimming the per-channel offset list to G drops
+            nothing."""
+            spans = [[] for _ in range(nch)]
+            for (pos, n_real, n_pad), (side_s, flat) in zip(plan,
+                                                            got_segs):
+                p23 = np.asarray(side_s)[:, 0].astype(np.int64)
+                wlen = (p23 + 31) >> 5
+                end = np.cumsum(wlen)
+                off = end - wlen
+                flat = np.asarray(flat)
+                for ch in range(nch):
+                    lo = (b * nch + ch) * n_pad
+                    spans[ch].append(
+                        (flat[off[lo]:end[lo + n_real - 1]],
+                         wlen[lo:lo + n_real]))
+            pieces = [p for ch in range(nch) for p, _ in spans[ch]]
+            wl = np.concatenate([
+                np.concatenate([w for _, w in spans[ch]])[:G]
+                for ch in range(nch)])
+            return (np.concatenate(pieces),
+                    (np.cumsum(wl) - wl).astype(np.int64))
+
         for b, (pcm, nf) in enumerate(framed):
             G = nf * mode_gr
             side = cat_lane([g[0] for g in got[:len(plan)]], b)[:, :G]
-            payload = cat_lane([g[1] for g in got[:len(plan)]], b)[:, :G]
+            payload = stitch_clip(got[:len(plan)], b, G)
             target = np.asarray(aux[0][b]).astype(np.int64)[:, :G]
             demand = np.asarray(aux[1][b]).astype(np.int64)[:, :G]
             if mode_gr == 2:
@@ -252,6 +319,7 @@ def encode_corpus_batched(clips, cfg_kwargs, batch=8, prof=None):
                                      nch)
                 # rare: re-encode this clip's lanes alone via the
                 # single-clip path budgets
+                G_max = plan[-1][0] + plan[-1][1]
                 bh = np.full((nch, G_max), 4095.0, np.float32)
                 bh[:, :G] = np.where(target < demand, target, 4095)
                 budgets_b = []
@@ -263,11 +331,22 @@ def encode_corpus_batched(clips, cfg_kwargs, batch=8, prof=None):
                         for r in budgets_b]
                 got_b = run_final([jnp.asarray(r) for r in redo], False)
                 side = cat_lane([g[0] for g in got_b], b)[:, :G]
-                payload = cat_lane([g[1] for g in got_b], b)[:, :G]
+                payload = stitch_clip(got_b, b, G)
                 p23 = side[:, :, 0].astype(np.int64)
             outputs[g0 + b] = E._marshal_and_assemble(
                 cfg0, side, payload, nf, bits_per_frame, mean_bits,
                 resv_max, sfb_s, prof, scfsi=scfsi_frames)
+
+    # one-group lookahead: group k+1's uploads/compute run while group
+    # k's download completes on the pool thread and its clips assemble
+    lookahead = int(os.environ.get("MP3TPU_CORPUS_LOOKAHEAD", "3"))
+    for g0 in range(0, len(clips), batch):
+        pending.append(dispatch_group(g0))
+        if len(pending) > lookahead:
+            pending.pop(0)()
+    while pending:
+        pending.pop(0)()
+    pool.shutdown(wait=False)
 
     wall = time.perf_counter() - t0
     return outputs, dict(clips=len(clips), audio_s=audio_s, wall_s=wall,
