@@ -115,36 +115,39 @@ def read_input(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    if args.input == "-" and args.layer == 3 and not args.exact:
-        # streaming stdin: unbounded channel-interleaved input at the
-        # configured mode (stereo by default like encoder.h:64),
-        # O(window) memory (musicin.c:310-371 'inf' mode;
-        # encode.c:123-168 interleaved block reads)
+    if args.input == "-" and not args.exact:
+        # streaming stdin, ALL layers: unbounded channel-interleaved
+        # input at the configured mode (stereo by default like
+        # encoder.h:64), O(window) memory (musicin.c:310-371 'inf'
+        # mode; encode.c:123-168 interleaved block reads)
         rate = (args.sfrq * 1000.0) if args.sfrq is not None else 44100.0
         mode = _MODES[args.mode]
-        if mode == mpeg.MODE_JOINT:
+        if args.layer == 3 and mode == mpeg.MODE_JOINT:
             print("joint stereo is not defined for layer 3 "
                   "(musicin.c:548-552)", file=sys.stderr)
             return 1
         cfg = EncoderConfig(
-            layer=3, mode=mode, psy_model=args.psy,
+            layer=args.layer, mode=mode, psy_model=args.psy,
             bitrate_kbps=args.brate, sample_rate_hz=rate,
             emphasis=_EMPH[args.emp], copyright=args.copyright,
             original=args.original,
             error_protection=args.error_protection)
         cfg.finalize()
-        if args.psy != 2:
+        if args.layer == 3 and args.psy != 2:
             print("psychoacoustic model 1 is not defined for layer 3",
                   file=sys.stderr)
             return 1
-        from .encoder import encode_layer3_stream
+        if args.layer == 3:
+            from .encoder import encode_layer3_stream as enc_stream
+        else:
+            from .encoder import encode_layer12_stream as enc_stream
         total = 0
         # no output path: pipe MP3 bytes to stdout (the natural pipe
         # semantics; '-.mp3' would be a footgun for downstream tools)
         sink = (open(args.output, "wb") if args.output
                 else sys.stdout.buffer)
         try:
-            for chunk in encode_layer3_stream(
+            for chunk in enc_stream(
                     stdin_pcm_iter(args.little_endian,
                                    nch=cfg.nchannels), cfg):
                 sink.write(chunk)

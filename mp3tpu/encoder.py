@@ -775,6 +775,66 @@ def encode_layer12_fast(pcm, cfg: EncoderConfig):
     return pack_elements(values, lengths) + b"\x00"
 
 
+def encode_layer12_stream(pcm_iter, cfg: EncoderConfig,
+                          window_frames=512):
+    """O(window) streaming Layer I/II encode: consume an iterator of
+    (n,) or (n, nch) int16 PCM pieces, yield MP3 byte chunks.
+
+    The reference streams every layer frame by frame
+    (encode.c:123-168); Layer I/II frames are bitstream-independent
+    (no back-pointer), so windows of W frames encoded with a 4-frame
+    HALO of true history concatenate into the identical stream: every
+    cross-frame lookback -- the 512-tap filterbank window, the psy
+    analysis window starts (384f-640 / 1152f+576i-480) and the
+    unpredictability chain's two-window spectral history -- reaches at
+    most 4 frames back, and CBR frames are fixed-size so the halo
+    frames' bytes cut exactly.  Byte-identity with the one-shot
+    encoder is locked by tests/test_stream.py.
+    """
+    cfg.finalize()
+    assert cfg.layer in (1, 2)
+    nch = cfg.nchannels
+    spf = 384 if cfg.layer == 1 else 1152
+    bits_per_slot = 32 if cfg.layer == 1 else 8
+    sfreq_khz = mpeg.S_FREQ_KHZ[cfg.version][cfg.sampling_frequency]
+    whole_spf = int((spf / float(sfreq_khz))
+                    * (cfg.bitrate_kbps / float(bits_per_slot)))
+    frame_bytes = whole_spf * (bits_per_slot // 8)
+    HALO_F = 4
+
+    buf = np.zeros((nch, 0), np.int16)
+    halo = np.zeros((nch, 0), np.int16)    # grows to HALO_F frames
+    ws = window_frames * spf
+
+    def encode_window(pcm_w, halo_w):
+        """Encode [halo | window]; return the window frames' bytes."""
+        ext = np.concatenate([halo_w, pcm_w], axis=1)
+        out = encode_layer12_fast(ext.T, cfg)
+        cut = (halo_w.shape[1] // spf) * frame_bytes
+        return out[cut:-1]                 # drop halo frames + flush byte
+
+    def step(pcm_w):
+        nonlocal halo
+        chunk = encode_window(pcm_w, halo)
+        keep = min(HALO_F * spf, halo.shape[1] + pcm_w.shape[1])
+        halo = np.concatenate([halo, pcm_w], axis=1)[:, -keep:]
+        return chunk
+
+    for piece in pcm_iter:
+        piece = np.atleast_2d(np.asarray(piece, np.int16))
+        if piece.shape[0] > piece.shape[1]:
+            piece = piece.T
+        assert piece.shape[0] == nch, piece.shape
+        buf = np.concatenate([buf, piece], axis=1)
+        while buf.shape[1] >= ws:
+            yield step(buf[:, :ws])
+            buf = buf[:, ws:]
+    if buf.shape[1]:
+        nf = -(-buf.shape[1] // spf)
+        yield step(np.pad(buf, ((0, 0), (0, nf * spf - buf.shape[1]))))
+    yield b"\x00"                          # the one-shot flush byte
+
+
 def _marshal_layer12(cfg, layer, table, sblimit, nch, F, mode, mode_ext,
                      jsbound, ba, scfsi, scalar, codes, adb_left):
     """Build the flat (value, length) element stream for all frames,

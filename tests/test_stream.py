@@ -81,3 +81,31 @@ def test_stream_lsf():
     one = encode_layer3_fast(pcm, cfg2, chunk=64)
     streamed = _stream_encode(pcm, cfg, window=64)
     assert streamed == one
+
+
+@pytest.mark.parametrize("layer,kbps", [(2, 192), (1, 384)])
+def test_stream_layer12_matches_oneshot(layer, kbps):
+    """Windowed Layer I/II streaming is byte-identical to the one-shot
+    encode: frames are bitstream-independent and every cross-frame
+    lookback (512-tap filterbank, psy window starts, two-window
+    unpredictability history) fits the 4-frame halo."""
+    from mp3tpu.encoder import encode_layer12_fast, encode_layer12_stream
+    rng = np.random.RandomState(3)
+    rate = 44100
+    t = np.arange(int(2.2 * rate)) / rate
+    x = 0.3 * np.sin(2 * np.pi * 440 * t) + 0.02 * rng.randn(len(t))
+    pcm = np.clip(x * 20000, -32768, 32767).astype(np.int16)
+    pcm = np.stack([pcm, (pcm * 0.6).astype(np.int16)], 1)
+    cfg = EncoderConfig(layer=layer, mode=mpeg.MODE_STEREO,
+                        bitrate_kbps=kbps, sample_rate_hz=rate)
+    one = encode_layer12_fast(pcm, cfg)
+    cfg2 = EncoderConfig(layer=layer, mode=mpeg.MODE_STEREO,
+                         bitrate_kbps=kbps, sample_rate_hz=rate)
+
+    def it():
+        for s in range(0, len(pcm), 7001):
+            yield pcm[s:s + 7001]
+
+    streamed = b"".join(encode_layer12_stream(it(), cfg2,
+                                              window_frames=16))
+    assert streamed == one
