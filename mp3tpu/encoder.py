@@ -155,9 +155,18 @@ def _plan_segments(G, buckets):
     buckets dropped the 60 s headline from 76x to 49x.  Only the last
     segment is ever padded, so the carried FSM/halo state always comes
     from real granules."""
+    import os
     plan = []
     pos = 0
     big = buckets[-1]
+    # pipeline ramp: a small FIRST segment shortens the lead-in (the
+    # pipeline's only un-overlapped upload) when the clip spans
+    # multiple big buckets.  MP3TPU_RAMP=0 disables; value = ramp size
+    # (must be one of the buckets).
+    ramp = int(os.environ.get("MP3TPU_RAMP", str(buckets[0])))
+    if ramp in buckets and ramp < big and G > big + ramp:
+        plan.append((0, ramp, ramp))
+        pos = ramp
     while G - pos > big:
         plan.append((pos, big, big))
         pos += big
