@@ -42,6 +42,17 @@ CHUNK_BUCKETS = (64, 128, 256)
 SUPER_BUCKETS = (256, 1024, 2048)
 
 
+def _super_buckets():
+    """Resolved super-chunk buckets: MP3TPU_SUPER=a,b,c overrides the
+    default for EVERY consumer (one-shot, corpus, streaming remainder,
+    tools) so a sweep measures one consistent configuration."""
+    import os
+    env = os.environ.get("MP3TPU_SUPER")
+    if env:
+        return tuple(sorted(int(x) for x in env.split(",")))
+    return SUPER_BUCKETS
+
+
 def _chunk_size(G):
     import os
     env = os.environ.get("MP3TPU_CHUNK")
@@ -111,29 +122,42 @@ def _plan_budgets_jit(pes, p23s, size0, plan, nch, mode_gr, mean_bits,
 _plan_budgets_impl = None
 
 
-def _stitch_flat(plan, seg_sides, seg_flats, nch):
+def _stitch_flat(plan, seg_sides, seg_flats, nch, lane0=0, G=None):
     """Stitch per-segment device-compacted payloads into one clip-order
     flat buffer + per-granule word offsets for the native assembler.
 
-    seg_sides: per segment (nch*n_pad, 19) side tables (p23 at col 0);
-    seg_flats: per segment (cap,) u32 flat payloads in lane order
-    (jaxbits.compact_payload).  Lane ranges per channel are contiguous
-    prefixes (padded lanes are silent, p23 = 0, zero words), so each
-    (segment, channel) contributes ONE contiguous word span; the clip
-    layout is channel-major like the native side table.
+    seg_sides: per segment (n_lanes*n_pad, 19) side tables (p23 at col
+    0); seg_flats: per segment (cap,) u32 flat payloads in lane order
+    (jaxbits.compact_payload).  A clip's channel lanes are contiguous
+    granule ranges, so each (segment, channel) contributes ONE
+    contiguous word span; the clip layout is channel-major like the
+    native side table.
+
+    lane0: the clip's first channel lane within the segment lane axis
+    (0 for the single-clip path; b*nch for corpus groups that stack
+    clips as extra lanes).  G: the clip's real granule count when it is
+    SHORTER than the plan's coverage (corpus clips below the group
+    max).  Tail granules past G are excluded from spans AND offsets
+    together -- they are NOT reliably silent (the MDCT overlap of the
+    last real granule rings into the first padded granule, giving it a
+    nonzero p23), so trimming only the offsets would shift every later
+    channel's words.
     Returns (clip_flat u32, offsets (nch*G,) int64)."""
     spans = [[] for _ in range(nch)]
     for (pos, n_real, n_pad), side_s, flat in zip(plan, seg_sides,
                                                   seg_flats):
+        clip_n = n_real if G is None else max(0, min(n_real, G - pos))
+        if clip_n == 0:
+            continue
         p23 = np.asarray(side_s)[:, 0].astype(np.int64)
         wlen = (p23 + 31) >> 5
         end = np.cumsum(wlen)
         off = end - wlen
         flat = np.asarray(flat)
         for ch in range(nch):
-            lo = ch * n_pad
-            spans[ch].append((flat[off[lo]:end[lo + n_real - 1]],
-                              wlen[lo:lo + n_real]))
+            lo = (lane0 + ch) * n_pad
+            spans[ch].append((flat[off[lo]:end[lo + clip_n - 1]],
+                              wlen[lo:lo + clip_n]))
     pieces = [p for ch in range(nch) for p, _ in spans[ch]]
     wlens = [w for ch in range(nch) for _, w in spans[ch]]
     clip_flat = (np.concatenate(pieces) if pieces
@@ -143,10 +167,10 @@ def _stitch_flat(plan, seg_sides, seg_flats, nch):
     return clip_flat, offs.astype(np.int64)
 
 
-def _plan_segments(G, buckets):
+def _plan_segments(G, buckets=None):
     """Greedy super-chunk plan: [(start, n_real, n_padded)] -- full
     largest-bucket segments plus ONE remainder padded to the smallest
-    covering bucket.
+    covering bucket.  buckets=None resolves MP3TPU_SUPER / the default.
 
     Minimizing SEGMENT COUNT beats minimizing padding: each segment
     pays the rate-loop's serial search latency (roughly constant in
@@ -156,6 +180,8 @@ def _plan_segments(G, buckets):
     segment is ever padded, so the carried FSM/halo state always comes
     from real granules."""
     import os
+    if buckets is None:
+        buckets = _super_buckets()
     plan = []
     pos = 0
     big = buckets[-1]
@@ -226,12 +252,7 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
         pcm = np.clip(np.nan_to_num(pcm, nan=0.0, posinf=32767.0,
                                     neginf=-32768.0), -32768, 32767)
     blocks = pcm.astype(np.int16).reshape(nch, G, 576)
-    import os as _os
-    buckets = SUPER_BUCKETS
-    env_sb = _os.environ.get("MP3TPU_SUPER")
-    if env_sb:
-        buckets = tuple(sorted(int(x) for x in env_sb.split(",")))
-    plan = _plan_segments(G, (chunk,) if chunk else buckets)
+    plan = _plan_segments(G, (chunk,) if chunk else None)
     assert all(s % 2 == 0 or mode_gr == 1 for _, _, s in plan)
 
     whole_spf, _ = cfg.slots_per_frame()
@@ -246,6 +267,35 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
     pw = int(os.environ.get("MP3TPU_PW", "96"))
 
     from concurrent.futures import ThreadPoolExecutor
+
+    # ---- per-segment pipeline, ONE pass over the plan:
+    #   analyze+demand -> causal reservoir scan (carried device level,
+    #   reservoir.c:101-134 as a lax.scan) -> final encode+pack, all
+    #   async dispatches; then THIS segment's (side, flat payload,
+    #   scfsi) download runs on a worker thread while the next
+    #   segment's upload/compute proceeds.  The tunnel is full-duplex
+    #   and device_get releases the GIL (measured: 2 x 9.4 MB
+    #   compute+download 2.64 s serial -> 1.11 s overlapped), so the
+    #   wall-clock approaches max(upload stream, compute) + last
+    #   download instead of their sum.  The scan tensors (target/
+    #   demand) stay ON DEVICE -- only the rare guard-retry/re-bucket
+    #   paths download them.
+    pool = ThreadPoolExecutor(max_workers=2)
+    try:
+        return _encode_layer3_pipeline(
+            pool, plan, blocks, cfg, nch, mode_gr, nframes, G, total,
+            sfreq_hz, sfb_s, bits_per_frame, sideinfo_len, mean_bits,
+            resv_max, delta, pw, prof)
+    finally:
+        pool.shutdown(wait=False)
+
+
+def _encode_layer3_pipeline(pool, plan, blocks, cfg, nch, mode_gr,
+                            nframes, G, total, sfreq_hz, sfb_s,
+                            bits_per_frame, sideinfo_len, mean_bits,
+                            resv_max, delta, pw, prof):
+    import jax
+    import jax.numpy as jnp
 
     from .runtime.bitstream import resv_guard
 
@@ -268,19 +318,6 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
             sf_fix=a.get("sf_fix"), nch=nch, qss_lo=a["qss"],
             flat_cap=cap)
 
-    # ---- per-segment pipeline, ONE pass over the plan:
-    #   analyze+demand -> causal reservoir scan (carried device level,
-    #   reservoir.c:101-134 as a lax.scan) -> final encode+pack, all
-    #   async dispatches; then THIS segment's (side, flat payload,
-    #   scfsi) download runs on a worker thread while the next
-    #   segment's upload/compute proceeds.  The tunnel is full-duplex
-    #   and device_get releases the GIL (measured: 2 x 9.4 MB
-    #   compute+download 2.64 s serial -> 1.11 s overlapped), so the
-    #   wall-clock approaches max(upload stream, compute) + last
-    #   download instead of their sum.  The scan tensors (target/
-    #   demand) stay ON DEVICE -- only the rare guard-retry/re-bucket
-    #   paths download them.
-    pool = ThreadPoolExecutor(max_workers=2)
     segs, futures = [], []
     fsm = jnp.zeros(nch, jnp.int32)
     size = 0
@@ -376,7 +413,6 @@ def encode_layer3_fast(pcm, cfg: EncoderConfig, prof=None, chunk=None):
         side, payload = run_final(pw, "final encode+pack retry (device)",
                                   target=target, demand=demand)
         p23 = side[:, :, 0].astype(np.int64)
-    pool.shutdown(wait=False)
 
     out = _marshal_and_assemble(cfg, side, payload, nframes,
                                 bits_per_frame, mean_bits, resv_max,
@@ -409,13 +445,19 @@ class StreamEncoder:
     `resume()` continues with the identical output stream.
     """
 
-    def __init__(self, cfg: EncoderConfig, window=4096, prof=None):
+    def __init__(self, cfg: EncoderConfig, window=None, prof=None):
         import os
 
         import jax.numpy as jnp
 
         from . import ensure_compile_cache
         ensure_compile_cache()
+        if window is None:
+            # default to the one-shot plan's top bucket so remainder
+            # windows decompose exactly like the one-shot path (a
+            # fixed 4096 silently diverged when the bucket default
+            # changed to 2048 in round 5)
+            window = _super_buckets()[-1]
         self.prof = prof if prof is not None else profiling.from_env()
         cfg.finalize()
         assert cfg.layer == 3
@@ -437,8 +479,8 @@ class StreamEncoder:
         self.pw = int(os.environ.get("MP3TPU_PW", "96"))
         # remainder windows pad exactly like the one-shot plan so the
         # two paths run the SAME device programs (bit-identity)
-        self.rem_buckets = (SUPER_BUCKETS if window == SUPER_BUCKETS[-1]
-                            else (window,))
+        _sb = _super_buckets()
+        self.rem_buckets = _sb if window == _sb[-1] else (window,)
 
         from .runtime.bitstream import NativeAssembler
         sfb_s = mpeg.sfb_short(cfg.version, cfg.sampling_frequency)
@@ -453,7 +495,9 @@ class StreamEncoder:
         """Accept PCM (int16, (n,) mono or (n, nch)); returns any MP3
         bytes whose frames completed."""
         piece = np.atleast_2d(np.asarray(piece, np.int16))
-        if piece.shape[0] > piece.shape[1]:
+        # orient by channel count, not by comparing dims: a final
+        # (nch, 1) chunk must NOT be transposed
+        if piece.shape[0] != self.nch:
             piece = piece.T
         assert piece.shape[0] == self.nch, piece.shape
         self.buf = np.concatenate([self.buf, piece], axis=1)
@@ -493,7 +537,7 @@ class StreamEncoder:
             buf=self.buf.copy(), asm=self.asm.checkpoint())
 
     @classmethod
-    def resume(cls, cfg, ckpt, window=4096, prof=None):
+    def resume(cls, cfg, ckpt, window=None, prof=None):
         import jax.numpy as jnp
         enc = cls(cfg, window=window, prof=prof)
         enc.fsm = jnp.asarray(ckpt["fsm"])
@@ -618,7 +662,7 @@ class StreamEncoder:
             return self.asm.finish() if is_last else self.asm.drain()
 
 
-def encode_layer3_stream(pcm_iter, cfg: EncoderConfig, window=4096,
+def encode_layer3_stream(pcm_iter, cfg: EncoderConfig, window=None,
                          prof=None):
     """Generator form of StreamEncoder: consume an iterator of PCM
     pieces, yield MP3 byte chunks as frames complete."""
@@ -831,7 +875,7 @@ def encode_layer12_stream(pcm_iter, cfg: EncoderConfig,
 
     for piece in pcm_iter:
         piece = np.atleast_2d(np.asarray(piece, np.int16))
-        if piece.shape[0] > piece.shape[1]:
+        if piece.shape[0] != nch:   # never flip a final (nch, 1) chunk
             piece = piece.T
         assert piece.shape[0] == nch, piece.shape
         buf = np.concatenate([buf, piece], axis=1)

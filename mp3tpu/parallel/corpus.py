@@ -178,7 +178,7 @@ def encode_corpus_batched(clips, cfg_kwargs, batch=8, prof=None):
                                         (0, nf * spf - pcm.shape[1]))),
                            nf))
         G_max = max(nf for _, nf in framed) * mode_gr
-        plan = E._plan_segments(G_max, E.SUPER_BUCKETS)
+        plan = E._plan_segments(G_max)
         L = B * nch
         blocks = np.zeros((L, G_max, 576), np.int16)
         for b, (pcm, nf) in enumerate(framed):
@@ -205,7 +205,10 @@ def encode_corpus_batched(clips, cfg_kwargs, batch=8, prof=None):
             tuple(a["p23"] for a in segs),
             tuple(plan), B, nch, mode_gr, mean_bits, resv_max, delta)
 
-        def run_final(budget_per_seg, fetch_aux):
+        def final_fetch(budget_per_seg, fetch_aux):
+            """Dispatch the group's per-segment final encodes and
+            return the device_get fetch list (one dispatch site for
+            both the pipelined and the retry path)."""
             hosts = []
             for i, ((pos, n_real, n_pad), a) in enumerate(zip(plan, segs)):
                 cap = layer3.jaxbits.payload_cap_words(
@@ -218,39 +221,19 @@ def encode_corpus_batched(clips, cfg_kwargs, batch=8, prof=None):
                     payload_words=pw, scfsi=a.get("scfsi"),
                     sf_fix=a.get("sf_fix"), nch=L,
                     qss_lo=a["qss"], flat_cap=cap)
-                for arr in (h["side"], h["payload"]):
-                    if hasattr(arr, "copy_to_host_async"):
-                        arr.copy_to_host_async()
                 hosts.append(h)
             fetch = [(h["side"], h["payload"]) for h in hosts]
             if fetch_aux:
                 fetch.append((tgt_all, dem_all,
                               [a.get("scfsi") for a in segs]))
-            return jax.device_get(fetch)
+            return fetch
 
-        def run_final_dispatch(budget_per_seg):
-            """Dispatch + threaded fetch of the group's final encode
-            (the wait happens in collect_group, overlapping the NEXT
-            group's upload/compute)."""
-            hosts = []
-            for i, ((pos, n_real, n_pad), a) in enumerate(zip(plan, segs)):
-                cap = layer3.jaxbits.payload_cap_words(
-                    B * n_pad // mode_gr, bits_per_frame, sideinfo_len,
-                    B * resv_max, L * n_pad)
-                h = layer3.encode_final(
-                    a["xr"], a["ratio_l"], a["ratio_s"],
-                    a["block_type"], budget_per_seg[i],
-                    cfg0.version, cfg0.sampling_frequency,
-                    payload_words=pw, scfsi=a.get("scfsi"),
-                    sf_fix=a.get("sf_fix"), nch=L,
-                    qss_lo=a["qss"], flat_cap=cap)
-                hosts.append(h)
-            fetch = ([(h["side"], h["payload"]) for h in hosts]
-                     + [(tgt_all, dem_all,
-                         [a.get("scfsi") for a in segs])])
-            return pool.submit(jax.device_get, fetch)
+        def run_final(budget_per_seg, fetch_aux):
+            return jax.device_get(final_fetch(budget_per_seg, fetch_aux))
 
-        fut = run_final_dispatch(budgets)
+        # pipelined form: the wait happens in collect_group,
+        # overlapping the NEXT group's upload/compute
+        fut = pool.submit(jax.device_get, final_fetch(budgets, True))
         return lambda: collect_group(g0, fut.result(), framed, plan, B,
                                      L, run_final)
 
@@ -266,32 +249,14 @@ def encode_corpus_batched(clips, cfg_kwargs, batch=8, prof=None):
             return np.concatenate(outs, axis=1)
 
         def stitch_clip(got_segs, b, G):
-            """Clip b's flat payload + ch-major word offsets from the
-            segment-level compacted buffers (same scheme as
-            encoder._stitch_flat; clip lanes are contiguous granule
-            ranges, so each (segment, channel) is one span).  Granules
-            past the clip's real length G are silent (p23 = 0, zero
-            words), so trimming the per-channel offset list to G drops
-            nothing."""
-            spans = [[] for _ in range(nch)]
-            for (pos, n_real, n_pad), (side_s, flat) in zip(plan,
-                                                            got_segs):
-                p23 = np.asarray(side_s)[:, 0].astype(np.int64)
-                wlen = (p23 + 31) >> 5
-                end = np.cumsum(wlen)
-                off = end - wlen
-                flat = np.asarray(flat)
-                for ch in range(nch):
-                    lo = (b * nch + ch) * n_pad
-                    spans[ch].append(
-                        (flat[off[lo]:end[lo + n_real - 1]],
-                         wlen[lo:lo + n_real]))
-            pieces = [p for ch in range(nch) for p, _ in spans[ch]]
-            wl = np.concatenate([
-                np.concatenate([w for _, w in spans[ch]])[:G]
-                for ch in range(nch)])
-            return (np.concatenate(pieces),
-                    (np.cumsum(wl) - wl).astype(np.int64))
+            """Clip b's flat payload + ch-major word offsets via the
+            shared helper (encoder._stitch_flat): lane base b*nch,
+            trimmed to the clip's real G granules -- spans and offsets
+            together, because tail granules past G are NOT reliably
+            silent (MDCT overlap ring-down)."""
+            return E._stitch_flat(plan, [s for s, _ in got_segs],
+                                  [f for _, f in got_segs], nch,
+                                  lane0=b * nch, G=G)
 
         for b, (pcm, nf) in enumerate(framed):
             G = nf * mode_gr
@@ -340,13 +305,15 @@ def encode_corpus_batched(clips, cfg_kwargs, batch=8, prof=None):
     # one-group lookahead: group k+1's uploads/compute run while group
     # k's download completes on the pool thread and its clips assemble
     lookahead = int(os.environ.get("MP3TPU_CORPUS_LOOKAHEAD", "3"))
-    for g0 in range(0, len(clips), batch):
-        pending.append(dispatch_group(g0))
-        if len(pending) > lookahead:
+    try:
+        for g0 in range(0, len(clips), batch):
+            pending.append(dispatch_group(g0))
+            if len(pending) > lookahead:
+                pending.pop(0)()
+        while pending:
             pending.pop(0)()
-    while pending:
-        pending.pop(0)()
-    pool.shutdown(wait=False)
+    finally:
+        pool.shutdown(wait=False)
 
     wall = time.perf_counter() - t0
     return outputs, dict(clips=len(clips), audio_s=audio_s, wall_s=wall,

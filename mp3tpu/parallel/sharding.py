@@ -38,6 +38,11 @@ def encode_sharded(mesh, blocks, budget, version, sampling_frequency,
     Returns the per-granule coding decision dict (sharded outputs).
     """
     ST = jaxloop._static(version, sampling_frequency)
+    per = blocks.shape[0] // mesh.devices.size
+    assert per >= 4, (
+        f"encode_sharded needs >= 4 granules per shard for the 4-block "
+        f"psy halo exchange (got {per}); use fewer devices or the "
+        f"chunked path (parallel/clip.py)")
 
     def shard_fn(blocks_s, budget_s):
         # halo: receive the last 4 blocks of the LEFT neighbor -- rows

@@ -136,3 +136,46 @@ def test_encode_corpus_batched_matches_single():
         s_s = float(snr_db(pcm[0].astype(np.float64), dec_s[:, 0]))
         assert abs(s_b - s_s) < 0.5, (s_b, s_s)
         assert s_b > 10.0, s_b
+
+
+def test_encode_corpus_batched_stereo_mixed_lengths():
+    """REGRESSION (round-5 review): in a batched group, a clip shorter
+    than the group max has tail granules past its real length whose
+    p23 is NOT zero (the MDCT overlap of the last real granule rings
+    into the first padded granule).  The payload stitcher must exclude
+    those tail words from spans AND offsets together -- trimming only
+    the offsets shifted every later CHANNEL's words, decoding the
+    short clip's channel 1 to noise.  Mono clips never caught it."""
+    from mp3tpu.config import EncoderConfig
+    from mp3tpu.decoder import decode_mp3
+    from mp3tpu.decoder.layer3 import snr_db
+    from mp3tpu.encoder import encode_layer3_fast
+    from mp3tpu.parallel.corpus import encode_corpus_batched
+    from mp3tpu.tables import mpeg
+
+    rng = np.random.RandomState(11)
+    clips = []
+    for s, secs in enumerate((0.6, 1.0)):
+        n = int(secs * 44100)
+        t = np.arange(n) / 44100.0
+        left = 0.3 * np.sin(2 * np.pi * (350 + 60 * s) * t) \
+            + 0.03 * rng.randn(n)
+        right = 0.25 * np.sin(2 * np.pi * (500 + 80 * s) * t) \
+            + 0.03 * rng.randn(n)
+        pcm = np.clip(np.stack([left, right]) * 22000,
+                      -32768, 32767).astype(np.int16)
+        clips.append((pcm, 44100))
+
+    kw = dict(layer=3, mode=mpeg.MODE_STEREO, bitrate_kbps=128)
+    outs, _ = encode_corpus_batched(clips, kw, batch=2)
+    for (pcm, rate), out in zip(clips, outs):
+        cfg = EncoderConfig(sample_rate_hz=rate, **kw)
+        single = encode_layer3_fast(pcm, cfg)
+        assert len(out) == len(single)
+        dec_b, _ = decode_mp3(out)
+        dec_s, _ = decode_mp3(single)
+        for ch in range(2):
+            s_b = float(snr_db(pcm[ch].astype(np.float64), dec_b[:, ch]))
+            s_s = float(snr_db(pcm[ch].astype(np.float64), dec_s[:, ch]))
+            assert abs(s_b - s_s) < 0.5, (ch, s_b, s_s)
+            assert s_b > 10.0, (ch, s_b)

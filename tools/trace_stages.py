@@ -100,7 +100,7 @@ def main():
     sfreq_hz = float(
         mpeg.S_FREQ_KHZ[cfg.version][cfg.sampling_frequency]) * 1000.0
     blocks = p.astype(np.int16).reshape(nch, G, 576)
-    plan = _plan_segments(G, SUPER_BUCKETS)
+    plan = _plan_segments(G)
     whole_spf, _ = cfg.slots_per_frame()
     bits_per_frame = 8 * whole_spf
     sideinfo_len = mpeg.sideinfo_bits(cfg.version, nch,
