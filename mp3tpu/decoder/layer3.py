@@ -255,7 +255,13 @@ def _decode_spectrum(br, gi, sfb_l, sfb_s, part2_start):
     t = 32 + gi["count1table_select"]
     while br.pos < limit and i <= 572:
         p = _huff_decode(br, t)
-        vals = [(p >> 0) & 1, (p >> 1) & 1, (p >> 2) & 1, (p >> 3) & 1]
+        # conformant quad order: v (FIRST sample) at bit 3 -- verified
+        # against libmpg123 (round 5).  NOTE: the dist10 reference
+        # builds its index with v at bit 0 (l3bitstream.c:740), so its
+        # count1 quads genuinely decode sample-reversed in conforming
+        # decoders; this decoder reports the conformant view (matching
+        # mpg123) rather than mirroring the reference's quirk.
+        vals = [(p >> 3) & 1, (p >> 2) & 1, (p >> 1) & 1, (p >> 0) & 1]
         for k in range(4):
             v = vals[k]
             if v and br.pos < limit:

@@ -228,12 +228,19 @@ def huffman_code(table, x, y):
     return code, cbits, ext, xbits
 
 
-def encode_spectrum(gi, ix_signed, sfb_s):
+def encode_spectrum(gi, ix_signed, sfb_s, count1_conformant=False):
     """Huffman-coded main data for one granule (l3bitstream.c:516-716).
 
     ix_signed: int array of 576 quantized values with signs applied.
     Returns element list; stuffing is appended by the caller once
     part2_length is known.
+
+    count1_conformant: the reference indexes count1 quads with the
+    FIRST sample at bit 0 (l3bitstream.c:740), which decodes
+    sample-reversed in conforming decoders (verified vs libmpg123).
+    Default False reproduces the reference byte-exactly (this module's
+    purpose); True uses the conformant (v<<3)|(w<<2)|(x<<1)|y index
+    like the production path (ops/jaxbits.count1_elements).
     """
     el = []
     bits_written = 0
@@ -273,7 +280,10 @@ def encode_spectrum(gi, ix_signed, sfb_s):
         vals = [int(ix[i]), int(ix[i + 1]), int(ix[i + 2]), int(ix[i + 3])]
         signs = [1 if v < 0 else 0 for v in vals]
         avals = [abs(v) for v in vals]
-        p = avals[0] + (avals[1] << 1) + (avals[2] << 2) + (avals[3] << 3)
+        if count1_conformant:
+            p = (avals[0] << 3) + (avals[1] << 2) + (avals[2] << 1) + avals[3]
+        else:
+            p = avals[0] + (avals[1] << 1) + (avals[2] << 2) + (avals[3] << 3)
         el.append((int(HUFF.codes[h, 0, p]), int(HUFF.hlen[h, 0, p])))
         bits_written += int(HUFF.hlen[h, 0, p])
         for v, sg in zip(avals, signs):

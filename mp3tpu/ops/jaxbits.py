@@ -224,7 +224,11 @@ def count1_elements(ix_signed, big_values, count1, c1ts):
     q = ixs.reshape(G, 144, 4)
     a = jnp.minimum(jnp.abs(q), 1)       # region values are 0/±1
     sg = (q < 0).astype(jnp.uint32)
-    p = a[:, :, 0] + 2 * a[:, :, 1] + 4 * a[:, :, 2] + 8 * a[:, :, 3]
+    # conformant quad index (v<<3)|(w<<2)|(x<<1)|y, v = first sample --
+    # the reference reverses this and its quads decode sample-reversed
+    # in conforming decoders (see jaxloop._count1_bits); sign bits
+    # already follow in sample order (= v,w,x,y order) either way
+    p = 8 * a[:, :, 0] + 4 * a[:, :, 1] + 2 * a[:, :, 2] + a[:, :, 3]
     row = jnp.where(c1ts[:, None] == 0,
                     jnp.asarray(_C1_COMBINED[0])[None, :],
                     jnp.asarray(_C1_COMBINED[1])[None, :])   # (G, 16)

@@ -272,7 +272,16 @@ def _count1_bits(ix, big_values, count1):
     ixs = jnp.where(mis[:, None], jnp.roll(ix, -2, axis=1), ix)
     start = jnp.where(mis, start - 2, start)
     quads = jnp.minimum(ixs, 1).reshape(G, 144, 4)
-    p = quads[:, :, 0] + 2 * quads[:, :, 1] + 4 * quads[:, :, 2] + 8 * quads[:, :, 3]
+    # CONFORMANCE (round 5, found by libmpg123 cross-decode): the quad
+    # table index is (v<<3)|(w<<2)|(x<<1)|y with v = FIRST sample.  The
+    # reference's l3bitstream.c:740 builds p = v|(w<<1)|(x<<2)|(y<<3)
+    # -- its count1 quads decode SAMPLE-REVERSED in every conforming
+    # decoder (verified: reading dist10's own streams with v-at-bit-3
+    # matches mpg123; v-at-bit-0 does not).  The production path uses
+    # the conformant index; the byte-exact oracle keeps the
+    # reference's quirk for the golden diffs.
+    p = (8 * quads[:, :, 0] + 4 * quads[:, :, 1] + 2 * quads[:, :, 2]
+         + quads[:, :, 3])
     q4 = 4 * jnp.arange(144)[None, :]
     inr = (q4 >= start[:, None]) & (q4 < (start + 4 * count1)[:, None])
     onehot = jax.nn.one_hot(p, 16, dtype=jnp.int8) * inr[:, :, None].astype(jnp.int8)

@@ -147,7 +147,9 @@ def _kernel(pm_ref, p0_ref, p1_ref, p2_ref, p3_ref, meta_ref, pbt_ref,
     a1c = jnp.minimum(q1, 1)
     a2c = jnp.minimum(q2, 1)
     a3c = jnp.minimum(q3, 1)
-    p16 = a0c + 2 * a1c + 4 * a2c + 8 * a3c
+    # conformant quad index, v (first sample) at bit 3 -- matches
+    # jaxloop._count1_bits (see the conformance note there)
+    p16 = 8 * a0c + 4 * a1c + 2 * a2c + a3c
     hl0 = jnp.zeros((TG, 144), jnp.int32)
     for c in range(16):
         hl0 = hl0 + jnp.where(p16 == c, int(_C1H0[c]), 0)

@@ -34,7 +34,8 @@ def _oracle_bits(state, ix_signed, is_short, sfb_s, g):
     el = oref.encode_scalefacs(
         gi, np.asarray(state["sf_l"][g]), np.asarray(state["sf_s"][g]),
         [0, 0, 0, 0], 0, mpeg.MPEG1)
-    data = oref.encode_spectrum(gi, np.asarray(ix_signed[g]), sfb_s)
+    data = oref.encode_spectrum(gi, np.asarray(ix_signed[g]), sfb_s,
+                                count1_conformant=True)
     el = el + data
     bits = ""
     for v, ln in el:

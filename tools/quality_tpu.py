@@ -48,6 +48,33 @@ CASES = [
 ]
 
 
+def _mpg123_snr(out, pcm, rate, nch):
+    """Cross-decode with the system libmpg123 (independent decoder);
+    per-channel best-lag SNR, or None if unavailable."""
+    from mp3tpu.runtime import mpg123
+    if not mpg123.available():
+        return None
+    try:
+        dec, drate = mpg123.decode(out)
+    except RuntimeError as e:
+        return {"error": str(e)}
+    if drate != rate:
+        return {"error": f"rate {drate} != {rate}"}
+    snrs = []
+    for c in range(min(nch, dec.shape[1])):
+        best = -99.0
+        for lag in range(2000):
+            n = min(pcm.shape[0], dec.shape[0] - lag)
+            if n < 1000:
+                break
+            o = pcm[:n, c].astype(np.float64)
+            e = o - dec[lag:lag + n, c]
+            best = max(best, 10 * np.log10(
+                (o ** 2).sum() / max((e ** 2).sum(), 1e-30)))
+        snrs.append(round(best, 2))
+    return snrs
+
+
 def main():
     import jax
     golden = os.path.join(os.path.dirname(os.path.dirname(
@@ -79,7 +106,9 @@ def main():
                           "margin_db": round(snr - bar, 2)})
             ok = ok and snr >= bar
         report["fixtures"][name] = {"pass": ok, "channels": chans,
-                                    "valid_cbr_grid": ok_struct}
+                                    "valid_cbr_grid": ok_struct,
+                                    "mpg123_snr_db": _mpg123_snr(
+                                        out, pcm, rate, pcm.shape[1])}
         report["all_pass"] = report["all_pass"] and ok
         print(f"{name:20s} {'PASS' if ok else 'FAIL'} "
               + " ".join(f"{c['snr_db']:.1f}>={c['ref_bar_db']}" for c in chans),
