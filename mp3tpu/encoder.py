@@ -327,18 +327,23 @@ def _encode_layer3_pipeline(pool, plan, blocks, cfg, nch, mode_gr,
             if pos:
                 bl[:, :4] = blocks[:, pos - 4: pos]
             bl[:, 4:4 + n_real] = blocks[:, pos: pos + n_real]
-            ana = layer3.analyze_demand_fused(
-                bl, fsm, cfg.version, cfg.sampling_frequency, sfreq_hz)
-            fsm = ana["fsm_state"]
-            bud_rows, tgt_dev, dem_dev, size = _plan_budgets_dev(
-                [ana["pe"]], [ana["p23"]], size, [(0, n_real, n_pad)],
-                nch, mode_gr, mean_bits, resv_max, delta)
-            h = dispatch_final(ana, bud_rows[0], n_pad, pw)
-            segs.append(dict(ana=ana, target=tgt_dev, demand=dem_dev))
+            cap = layer3.jaxbits.payload_cap_words(
+                n_pad // mode_gr, bits_per_frame, sideinfo_len,
+                resv_max, nch * n_pad)
+            # ONE fused program per segment (analyze+scan+final): the
+            # tunnel charges host-side dispatch per jit call, and the
+            # carried fsm/size stay device scalars
+            h = layer3.encode_segment_fused(
+                bl, fsm, size, cfg.version, cfg.sampling_frequency,
+                sfreq_hz, pw, nch, cap, n_real, mean_bits, resv_max,
+                mode_gr, delta)
+            fsm = h["fsm_state"]
+            size = h["size"]
+            segs.append(h)
             futures.append(pool.submit(
                 jax.device_get,
-                (h["side"], h["payload"], ana.get("scfsi"),
-                 ana["n_nonfinite"])))
+                (h["side"], h["payload"], h.get("scfsi"),
+                 h["n_nonfinite"])))
         got = [f.result() for f in futures]
 
     side = _cat([g[0] for g in got])
@@ -375,7 +380,7 @@ def _encode_layer3_pipeline(pool, plan, blocks, cfg, nch, mode_gr,
                 t = target[:, pos: pos + n_real]
                 d = demand[:, pos: pos + n_real]
                 bh[:, :n_real] = np.where(t < d, t, 4095)
-                h = dispatch_final(s["ana"], jnp.asarray(bh.reshape(-1)),
+                h = dispatch_final(s, jnp.asarray(bh.reshape(-1)),
                                    n_pad, pw)
                 futs.append(pool.submit(jax.device_get,
                                         (h["side"], h["payload"])))

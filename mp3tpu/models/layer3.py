@@ -250,6 +250,54 @@ def encode_final(xr, ratio_l, ratio_s, block_type, budget, version,
     return dict(side=pack_state(out, block_type), payload=payload)
 
 
+@partial(jax.jit, static_argnames=(
+    "version", "sampling_frequency", "sfreq_hz", "payload_words", "nch",
+    "flat_cap", "n_real", "mean_bits", "resv_max", "mode_gr", "delta"))
+def encode_segment_fused(blocks_h4, fsm_init, size_in, version,
+                         sampling_frequency, sfreq_hz, payload_words,
+                         nch, flat_cap, n_real, mean_bits, resv_max,
+                         mode_gr, delta):
+    """ONE device program per segment: analyze+demand -> causal
+    reservoir scan (carried level in, level out) -> final encode +
+    compacted payload.  The axon tunnel charges ~5-20 ms of host-side
+    dispatch per jit call; fusing the per-segment chain (3 programs ->
+    1) removes two of them per segment and lets XLA schedule the whole
+    chain without host round trips.  Returns everything the pipeline
+    and the (rare) guard-retry path need."""
+    from ..ops import jaxresv
+
+    ana = analyze_demand_fused(blocks_h4, fsm_init, version,
+                               sampling_frequency, sfreq_hz)
+    pe = ana["pe"].reshape(nch, -1)[:, :n_real]
+    demand = ana["p23"].reshape(nch, -1)[:, :n_real].astype(jnp.int32)
+    bud, size_out = jaxresv.scan_budgets(
+        jaxresv.granule_major(pe, nch, mode_gr),
+        jaxresv.granule_major(demand, nch, mode_gr),
+        size_in, mean_bits, resv_max, mode_gr, nch, delta)
+    target = jnp.minimum(
+        demand, jaxresv.from_granule_major(bud, nch, mode_gr))
+    n_pad = blocks_h4.shape[1] - 4
+    row = jnp.where(target < demand, target.astype(jnp.float32), 4095.0)
+    row = jnp.pad(row, ((0, 0), (0, n_pad - n_real)),
+                  constant_values=4095.0).reshape(-1)
+    h = encode_final(ana["xr"], ana["ratio_l"], ana["ratio_s"],
+                     ana["block_type"], row, version,
+                     sampling_frequency, payload_words=payload_words,
+                     scfsi=ana.get("scfsi"), sf_fix=ana.get("sf_fix"),
+                     nch=nch, qss_lo=ana["qss"], flat_cap=flat_cap)
+    out = dict(side=h["side"], payload=h["payload"],
+               fsm_state=ana["fsm_state"], size=size_out,
+               target=target, demand=demand,
+               n_nonfinite=ana["n_nonfinite"],
+               xr=ana["xr"], ratio_l=ana["ratio_l"],
+               ratio_s=ana["ratio_s"], block_type=ana["block_type"],
+               qss=ana["qss"])
+    if "scfsi" in ana:
+        out["scfsi"] = ana["scfsi"]
+        out["sf_fix"] = ana["sf_fix"]
+    return out
+
+
 @jax.jit
 def pack_state(state, block_type):
     """The (N, 19) side-info table in EXACTLY the layout the native
