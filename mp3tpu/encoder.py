@@ -320,7 +320,10 @@ def _encode_layer3_pipeline(pool, plan, blocks, cfg, nch, mode_gr,
 
     segs, futures = [], []
     fsm = jnp.zeros(nch, jnp.int32)
-    size = 0
+    # strong-typed int32 so the carried level's dtype matches h["size"]
+    # on later segments (a weak-typed Python 0 double-compiled the
+    # fused program per bucket)
+    size = jnp.int32(0)
     with prof.stage("pipeline dispatch+fetch (device)"):
         for pos, n_real, n_pad in plan:
             bl = np.zeros((nch, 4 + n_pad, 576), np.int16)
@@ -339,7 +342,13 @@ def _encode_layer3_pipeline(pool, plan, blocks, cfg, nch, mode_gr,
                 mode_gr, delta)
             fsm = h["fsm_state"]
             size = h["size"]
-            segs.append(h)
+            # retain ONLY what the (rare) re-bucket/guard-retry paths
+            # read -- keeping side/payload too would pin every
+            # segment's device buffers for the whole clip
+            segs.append({k: h[k] for k in
+                         ("xr", "ratio_l", "ratio_s", "block_type",
+                          "qss", "target", "demand", "scfsi", "sf_fix")
+                         if k in h})
             futures.append(pool.submit(
                 jax.device_get,
                 (h["side"], h["payload"], h.get("scfsi"),
@@ -361,15 +370,21 @@ def _encode_layer3_pipeline(pool, plan, blocks, cfg, nch, mode_gr,
     target = demand = None
 
     def fetch_scan():
-        """Lazy download of the scan tensors (retry paths only)."""
+        """Lazy download of the scan tensors (retry paths only).  The
+        fused program returns them at the padded width; slice to each
+        segment's real granules before concatenating."""
         nonlocal target, demand
         if target is None:
             td = jax.device_get([(s["target"], s["demand"])
                                  for s in segs])
             target = np.concatenate(
-                [np.asarray(t) for t, _ in td], axis=1).astype(np.int64)
+                [np.asarray(t)[:, :n_real]
+                 for (pos, n_real, n_pad), (t, _) in zip(plan, td)],
+                axis=1).astype(np.int64)
             demand = np.concatenate(
-                [np.asarray(d) for _, d in td], axis=1).astype(np.int64)
+                [np.asarray(d)[:, :n_real]
+                 for (pos, n_real, n_pad), (_, d) in zip(plan, td)],
+                axis=1).astype(np.int64)
         return target, demand
 
     def run_final(pw, label, target=None, demand=None):
@@ -492,7 +507,9 @@ class StreamEncoder:
         self.asm = NativeAssembler(cfg, np.asarray(sfb_s, np.int32))
         self.fsm = jnp.zeros(self.nch, jnp.int32)
         self.halo4 = np.zeros((self.nch, 4, 576), np.int16)
-        self.scan_size = 0        # predictive reservoir chain (scan)
+        # strong-typed like the one-shot path so both hit the SAME
+        # compiled fused program (predictive reservoir chain)
+        self.scan_size = jnp.int32(0)
         self.real_size = 0        # realized chain (guard + assembler)
         self.buf = np.zeros((self.nch, 0), np.int16)
 
@@ -547,7 +564,7 @@ class StreamEncoder:
         enc = cls(cfg, window=window, prof=prof)
         enc.fsm = jnp.asarray(ckpt["fsm"])
         enc.halo4 = ckpt["halo4"].copy()
-        enc.scan_size = int(ckpt["scan_size"])
+        enc.scan_size = jnp.int32(ckpt["scan_size"])
         enc.real_size = int(ckpt["real_size"])
         enc.buf = ckpt["buf"].copy()
         enc.asm.restore(ckpt["asm"])
@@ -568,21 +585,24 @@ class StreamEncoder:
         bl = np.zeros((nch, 4 + n_pad, 576), np.int16)
         bl[:, :4] = self.halo4
         bl[:, 4:4 + G] = blocks
-        with prof.stage("stream analyze+demand"):
-            ana = layer3.analyze_demand_fused(
-                bl, self.fsm, cfg.version, cfg.sampling_frequency,
-                self.sfreq_hz)
-            self.fsm = ana["fsm_state"]
+        cap = layer3.jaxbits.payload_cap_words(
+            n_pad // mode_gr, self.bits_per_frame,
+            mpeg.sideinfo_bits(cfg.version, nch, cfg.error_protection),
+            self.resv_max, nch * n_pad)
+        # the SAME fused program as the one-shot pipeline (analyze +
+        # reservoir scan + final encode+pack), so stream/one-shot
+        # bit-identity holds by construction, not by hoping XLA
+        # compiles split and fused graphs to identical floats
+        with prof.stage("stream segment (fused)"):
+            h = layer3.encode_segment_fused(
+                bl, self.fsm, self.scan_size, cfg.version,
+                cfg.sampling_frequency, self.sfreq_hz, self.pw, nch,
+                cap, G, self.mean_bits, self.resv_max, mode_gr,
+                self.delta)
+            self.fsm = h["fsm_state"]
+            self.scan_size = h["size"]
         self.halo4 = blocks[:, -4:] if G >= 4 else np.concatenate(
             [self.halo4[:, G - 4:], blocks], axis=1)
-
-        # device-side reservoir scan; the carried level stays a device
-        # scalar, so a window runs with ONE host sync (the download)
-        bud_rows, target_dev, demand_dev, size_out = _plan_budgets_dev(
-            [ana["pe"]], [ana["p23"]], self.scan_size,
-            [(0, G, n_pad)], nch, mode_gr, self.mean_bits,
-            self.resv_max, self.delta)
-        self.scan_size = size_out
 
         def cut(a):
             a = np.asarray(a)
@@ -590,46 +610,34 @@ class StreamEncoder:
 
         nframes_w = G // mode_gr
 
-        def run_final(pw, label, budget_rows=None, target=None,
-                      demand=None, fetch_aux=False):
-            if budget_rows is not None:
-                budget = budget_rows[0]
-            else:
-                bh = np.full((nch, n_pad), 4095.0, np.float32)
-                bh[:, :G] = np.where(target < demand, target, 4095)
-                budget = jnp.asarray(bh.reshape(-1))
-            cap = layer3.jaxbits.payload_cap_words(
-                n_pad // mode_gr, self.bits_per_frame,
-                mpeg.sideinfo_bits(cfg.version, nch,
-                                   cfg.error_protection),
-                self.resv_max, nch * n_pad)
+        def run_final(pw, label, target, demand):
+            bh = np.full((nch, n_pad), 4095.0, np.float32)
+            bh[:, :G] = np.where(target < demand, target, 4095)
+            budget = jnp.asarray(bh.reshape(-1))
             with prof.stage(label):
-                h = layer3.encode_final(
-                    ana["xr"], ana["ratio_l"], ana["ratio_s"],
-                    ana["block_type"], budget,
+                hh = layer3.encode_final(
+                    h["xr"], h["ratio_l"], h["ratio_s"],
+                    h["block_type"], budget,
                     cfg.version, cfg.sampling_frequency,
-                    payload_words=pw, scfsi=ana.get("scfsi"),
-                    sf_fix=ana.get("sf_fix"), nch=nch,
-                    qss_lo=ana["qss"], flat_cap=cap)
-                fetch = [h["side"], h["payload"]]
-                if fetch_aux:
-                    fetch.append((target_dev, demand_dev,
-                                  ana.get("scfsi"), ana["n_nonfinite"]))
-                got = jax.device_get(fetch)
+                    payload_words=pw, scfsi=h.get("scfsi"),
+                    sf_fix=h.get("sf_fix"), nch=nch,
+                    qss_lo=h["qss"], flat_cap=cap)
+                got = jax.device_get([hh["side"], hh["payload"]])
             payload = _stitch_flat([(0, G, n_pad)], [got[0]], [got[1]],
                                    nch)
-            if fetch_aux:
-                return cut(got[0]), payload, got[2]
             return cut(got[0]), payload
 
         pw = self.pw
-        side, payload, aux = run_final(pw, "stream final",
-                                       budget_rows=bud_rows,
-                                       fetch_aux=True)
-        target = np.asarray(aux[0]).astype(np.int64)
-        demand = np.asarray(aux[1]).astype(np.int64)
+        with prof.stage("stream fetch"):
+            got = jax.device_get(
+                (h["side"], h["payload"], h.get("scfsi"),
+                 h["target"], h["demand"]))
+        side = cut(got[0])
+        payload = _stitch_flat([(0, G, n_pad)], [got[0]], [got[1]], nch)
+        target = np.asarray(got[3])[:, :G].astype(np.int64)
+        demand = np.asarray(got[4])[:, :G].astype(np.int64)
         if mode_gr == 2:
-            scfsi_frames = np.asarray(aux[2])[:, :G // 2]
+            scfsi_frames = np.asarray(got[2])[:, :G // 2]
         else:
             scfsi_frames = np.zeros((nch, nframes_w, 4), np.int32)
         p23 = side[:, :, 0].astype(np.int64)

@@ -252,7 +252,7 @@ def encode_final(xr, ratio_l, ratio_s, block_type, budget, version,
 
 @partial(jax.jit, static_argnames=(
     "version", "sampling_frequency", "sfreq_hz", "payload_words", "nch",
-    "flat_cap", "n_real", "mean_bits", "resv_max", "mode_gr", "delta"))
+    "flat_cap", "mean_bits", "resv_max", "mode_gr", "delta"))
 def encode_segment_fused(blocks_h4, fsm_init, size_in, version,
                          sampling_frequency, sfreq_hz, payload_words,
                          nch, flat_cap, n_real, mean_bits, resv_max,
@@ -263,23 +263,33 @@ def encode_segment_fused(blocks_h4, fsm_init, size_in, version,
     dispatch per jit call; fusing the per-segment chain (3 programs ->
     1) removes two of them per segment and lets XLA schedule the whole
     chain without host round trips.  Returns everything the pipeline
-    and the (rare) guard-retry path need."""
+    and the (rare) guard-retry path need.
+
+    n_real is TRACED (not static): the padded frames past it are
+    masked out of the reservoir scan and their budget rows forced to
+    the unconstrained 4095, so ONE compiled program serves every clip
+    length inside a shape bucket (a static n_real re-compiled this --
+    the heaviest program in the repo -- for every new remainder
+    length).  target/demand come back at the padded width; hosts slice
+    [:, :n_real]."""
     from ..ops import jaxresv
 
     ana = analyze_demand_fused(blocks_h4, fsm_init, version,
                                sampling_frequency, sfreq_hz)
-    pe = ana["pe"].reshape(nch, -1)[:, :n_real]
-    demand = ana["p23"].reshape(nch, -1)[:, :n_real].astype(jnp.int32)
+    n_pad = blocks_h4.shape[1] - 4
+    pe = ana["pe"].reshape(nch, -1)
+    demand = ana["p23"].reshape(nch, -1).astype(jnp.int32)
+    valid_f = jnp.arange(n_pad // mode_gr) < (n_real // mode_gr)
     bud, size_out = jaxresv.scan_budgets(
         jaxresv.granule_major(pe, nch, mode_gr),
         jaxresv.granule_major(demand, nch, mode_gr),
-        size_in, mean_bits, resv_max, mode_gr, nch, delta)
+        size_in, mean_bits, resv_max, mode_gr, nch, delta,
+        valid=valid_f)
     target = jnp.minimum(
         demand, jaxresv.from_granule_major(bud, nch, mode_gr))
-    n_pad = blocks_h4.shape[1] - 4
-    row = jnp.where(target < demand, target.astype(jnp.float32), 4095.0)
-    row = jnp.pad(row, ((0, 0), (0, n_pad - n_real)),
-                  constant_values=4095.0).reshape(-1)
+    valid_g = jnp.arange(n_pad)[None, :] < n_real
+    row = jnp.where(valid_g & (target < demand),
+                    target.astype(jnp.float32), 4095.0).reshape(-1)
     h = encode_final(ana["xr"], ana["ratio_l"], ana["ratio_s"],
                      ana["block_type"], row, version,
                      sampling_frequency, payload_words=payload_words,

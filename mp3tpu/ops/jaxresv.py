@@ -27,15 +27,18 @@ import jax.numpy as jnp
 
 
 def _scan_core(pe, demand, size0, mean_bits, resv_max, mode_gr, nch,
-               delta):
+               delta, valid=None):
     R = mode_gr * nch
     mean = mean_bits // nch
     max_bits = min(mean, 4095)
     pe = pe.astype(jnp.float64)
     demand = demand.astype(jnp.int32)
+    if valid is None:
+        valid = jnp.ones(pe.shape[0], bool)
 
     def frame(size, xs):
-        pe_f, dem_f = xs
+        pe_f, dem_f, val_f = xs
+        size_in = size
         budgets = []
         for r in range(R):
             if resv_max == 0:
@@ -57,23 +60,29 @@ def _scan_core(pe, demand, size0, mean_bits, resv_max, mode_gr, nch,
             size = size + 1
         size = jnp.minimum(size, resv_max)
         size = size - size % 8
+        # padded (invalid) frames pass the reservoir level through
+        # untouched -- they exist only to fill a shape bucket
+        size = jnp.where(val_f, size, size_in)
         return size, jnp.stack(budgets)
 
     size_out, budgets = jax.lax.scan(frame, jnp.asarray(size0, jnp.int32),
-                                     (pe, demand))
+                                     (pe, demand, valid))
     return budgets, size_out
 
 
 @partial(jax.jit, static_argnames=("mean_bits", "resv_max", "mode_gr",
                                    "nch", "delta"))
 def scan_budgets(pe, demand, size0, mean_bits, resv_max, mode_gr, nch,
-                 delta):
+                 delta, valid=None):
     """pe, demand: (F, R) granule-major (r = gr*nch + ch) float/int32.
     size0: () int32 carried reservoir level (streaming windows).
-    Returns (budgets (F, R) int32, size_out ()).
+    valid: optional (F,) bool -- False frames are bucket padding and
+    leave the reservoir level unchanged (lets n_real stay a TRACED
+    value so one compiled program serves every clip length in a shape
+    bucket).  Returns (budgets (F, R) int32, size_out ()).
     """
     return _scan_core(pe, demand, size0, mean_bits, resv_max, mode_gr,
-                      nch, delta)
+                      nch, delta, valid=valid)
 
 
 @partial(jax.jit, static_argnames=("mean_bits", "resv_max", "mode_gr",

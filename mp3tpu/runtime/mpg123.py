@@ -20,7 +20,10 @@ _NEED_MORE = -10
 _NEW_FORMAT = -11
 _DONE = -12
 
-_LIB = None
+# signed 16-bit: MPG123_ENC_SIGNED_16 (fmt123.h)
+_ENC_SIGNED_16 = 0xD0
+
+_LIB = None        # tri-state: None = not tried, False = load failed
 _INIT = False
 
 
@@ -31,11 +34,14 @@ def available():
 def _load():
     global _LIB, _INIT
     if _LIB is not None:
-        return _LIB
+        # False caches a FAILED load: the find_library probe shells
+        # out, and callers re-check availability once per fixture
+        return _LIB or None
     name = ctypes.util.find_library("mpg123") or "libmpg123.so.0"
     try:
         lib = ctypes.CDLL(name)
     except OSError:
+        _LIB = False
         return None
     lib.mpg123_new.restype = ctypes.c_void_p
     lib.mpg123_new.argtypes = [ctypes.c_char_p,
@@ -103,6 +109,12 @@ def decode(data):
                 + lib.mpg123_plain_strerror(rc).decode())
         if not chunks or nch.value == 0:
             raise RuntimeError("mpg123 produced no audio")
+        if enc.value != _ENC_SIGNED_16:
+            # a float/8-bit-negotiated build would make the int16 view
+            # below silently reinterpret the bytes
+            raise RuntimeError(
+                f"mpg123 negotiated encoding 0x{enc.value:x}, "
+                f"need signed-16 (0x{_ENC_SIGNED_16:x})")
         pcm = np.concatenate(chunks).view(np.int16)
         return pcm.reshape(-1, nch.value), int(rate.value)
     finally:

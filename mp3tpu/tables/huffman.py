@@ -28,7 +28,15 @@ class HuffTables:
     pair_bits: np.ndarray  # (32, 256) int32 fused per-pair bit cost
 
     def count1_hlen(self, which):
-        """hlen for quad table 32/33 indexed by p = v+2w+4x+8y."""
+        """hlen for quad table 32/33.
+
+        Production callers index conformantly, p = 8v+4w+2x+y (first
+        sample at the MOST significant bit, ISO 11172-3); only the
+        byte-exact oracle keeps dist10's reversed p = v+2w+4x+8y
+        (l3bitstream.c:740, the inherited conformance bug -- see
+        tests/test_conformance.py).  The table itself is
+        order-agnostic: quad A is 4 bits flat, quad B's hlen is
+        palindromic under bit reversal."""
         return self.hlen[32 + which, 0, :16]
 
 

@@ -234,7 +234,12 @@ long emit_granule_main(std::vector<Element>& el, const GranuleSide& g,
         sg[k] = v[k] < 0;
         a[k] = v[k] < 0 ? -v[k] : v[k];
       }
-      int p = a[0] + (a[1] << 1) + (a[2] << 2) + (a[3] << 3);
+      // conformant quad index (v<<3)|(w<<2)|(x<<1)|y -- first
+      // sample at the MSB, like every live emission path.  dist10
+      // reversed this (l3bitstream.c:740) and its quads decode
+      // sample-swapped in conforming decoders; see
+      // tests/test_conformance.py.
+      int p = (a[0] << 3) + (a[1] << 2) + (a[2] << 1) + a[3];
       el.push_back({HUFF_CODES[table][p], HUFF_HLEN[table][p]});
       for (int k = 0; k < 4; k++)
         if (a[k]) el.push_back({(uint32_t)sg[k], 1});
